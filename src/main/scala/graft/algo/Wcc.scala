@@ -1,0 +1,81 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.graph.LinkGraph
+import graft.bsp.{RunContext, StepStat}
+
+/** Weakly connected components — min-label (HashMin) propagation with the
+  * exact semantics of the reference
+  * (raphtory/src/algorithms/components/connected_components.rs:34-93):
+  *
+  *  - init: label(v) = min(vid, min over undirected distinct neighbours);
+  *  - superstep: adopt min of neighbours' previous labels if smaller;
+  *  - stop when nothing changed (or after iterCount supersteps);
+  *  - result label = the GID of the node whose VID equals the final label,
+  *    i.e. the component representative is the earliest-ingested member —
+  *    which is why VID minting order matters (SURVEY §7.4).
+  *
+  * One shuffle per superstep (the min-message aggregation); the state and
+  * neighbour-pair tables are co-hash-partitioned on the vertex id.
+  */
+object Wcc {
+
+  /** Returns (vid, name, component_vid, component) where `component` is the
+    * representative's GID (name). */
+  def run(g: LinkGraph, iterCount: Long = Long.MaxValue, ctx: RunContext = RunContext.none): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val pairs = g.undirectedPairs.repartition(p, $"a").persist(StorageLevel.MEMORY_AND_DISK)
+    val pairCount = pairs.count()
+
+    // init: least(vid, min neighbour vid)
+    val nbrMin = pairs.groupBy($"a").agg(min($"b").as("nbr_min"))
+    val init = g.nodes.select($"vid")
+      .join(nbrMin, $"vid" === $"a", "left")
+      .select($"vid", least($"vid", coalesce($"nbr_min", $"vid")).as("label"))
+
+    var state = ctx.restoreOrInit(init.repartition(p, $"vid"))
+    var step = ctx.startStep
+    var done = false
+
+    while (!done && step < iterCount) {
+      step += 1
+      val t0 = System.nanoTime()
+      val msgs = state.join(pairs, state("vid") === pairs("a"))
+        .groupBy($"b").agg(min($"label").as("cand"))
+
+      val newState = state.join(msgs, state("vid") === msgs("b"), "left")
+        .select(state("vid"),
+          least($"label", coalesce($"cand", $"label")).as("label"),
+          (coalesce($"cand", $"label") < $"label").as("changed"))
+
+      val ck = ctx.checkpoint(newState, step)
+      val changed = ck.agg(sum(when($"changed", 1L).otherwise(0L))).head().getLong(0)
+      state.unpersist()
+      state = ck.drop("changed")
+      done = changed == 0
+      ctx.record(StepStat("wcc", step, pairCount, pairCount, changed.toDouble,
+        (System.nanoTime() - t0) / 1e6))
+    }
+    pairs.unpersist()
+    state
+      .join(g.nodes, Seq("vid"))
+      .join(g.nodes.select($"vid".as("label"), $"name".as("component")), Seq("label"))
+      .select($"vid", $"name", $"label".as("component_vid"), $"component")
+  }
+
+  /** Largest connected component: the induced subgraph of the biggest WCC
+    * (algorithms/components/lcc.rs:25-68). */
+  def largestComponent(g: LinkGraph): LinkGraph = {
+    val wcc = run(g).persist(StorageLevel.MEMORY_AND_DISK)
+    val top = wcc.groupBy(col("component_vid")).agg(count("*").as("n"))
+      .orderBy(desc("n"), asc("component_vid")).limit(1)
+    val members = wcc.join(top.select("component_vid"), Seq("component_vid"), "left_semi")
+      .select(col("vid"))
+    g.subgraph(members)
+  }
+}

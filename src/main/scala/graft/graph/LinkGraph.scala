@@ -1,0 +1,171 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.io.{EdgeEvent, Ingest}
+
+/** The engine's graph abstraction: two Datasets.
+  *
+  *  - `edges(src, dst, ts, seq, layer)` — the exploded temporal edge-event
+  *    log over dense vertex ids (the analogue of the reference's
+  *    `TemporalGraph` event log, raphtory/src/core/entities/graph/tgraph.rs:45-68).
+  *  - `nodes(vid, name)` — vid is the dense first-appearance rank
+  *    (SURVEY.md §7.4); name is the external GID (url / fixture id).
+  *
+  * All views (window / layer / subgraph — SURVEY §1.5) are non-destructive
+  * Catalyst filters over the same two Datasets, so stacked views fuse into
+  * one WholeStageCodegen stage exactly like the reference's zero-copy view
+  * wrappers (raphtory/src/db/graph/views/window_graph.rs:76-120).
+  *
+  * `namesAreNumeric`: true when every GID parses as u64 — GID ordering (all
+  * numeric ids sort before all strings; raphtory-api/src/core/entities/mod.rs:84-88)
+  * then reduces to numeric order. Used by LPA tie-breaks.
+  */
+class LinkGraph(
+    val edges: DataFrame,            // src: Long, dst: Long, ts: Long, seq: Long, layer: String
+    val nodes: DataFrame,            // vid: Long, name: String
+    val namesAreNumeric: Boolean = false) extends Serializable {
+
+  def spark: SparkSession = edges.sparkSession
+
+  // ---- view algebra (SURVEY §1.5) ----------------------------------------
+
+  /** Events with start <= ts < end; nodes restricted to active endpoints
+    * (db/api/view/time.rs:115 — inclusive start, exclusive end). */
+  def window(start: Long, end: Long): LinkGraph = {
+    val e = edges.filter(col("ts") >= start && col("ts") < end)
+    induced(e)
+  }
+
+  def before(t: Long): LinkGraph = window(Long.MinValue, t)
+  def after(t: Long): LinkGraph = window(t + 1, Long.MaxValue)
+  def at(t: Long): LinkGraph = window(t, t + 1)
+
+  /** Restrict to named layers (db/api/view/layer.rs:12-37). Nodes keep the
+    * full set (layer views filter edges only in the reference). */
+  def layers(names: Seq[String]): LinkGraph =
+    new LinkGraph(edges.filter(col("layer").isin(names: _*)), nodes, namesAreNumeric)
+
+  /** Induced subgraph on a node set given as a DataFrame with a `vid`
+    * column (db/graph/views/node_subgraph.rs). Semi-joins both endpoints;
+    * nodes filtered to the set. */
+  def subgraph(vids: DataFrame): LinkGraph = {
+    val v = vids.select(col("vid"))
+    val e = edges
+      .join(v.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+      .join(v.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+    new LinkGraph(e, nodes.join(v, Seq("vid"), "left_semi"), namesAreNumeric)
+  }
+
+  private def induced(e: DataFrame): LinkGraph = {
+    val active = e.select(col("src").as("vid"))
+      .union(e.select(col("dst").as("vid"))).distinct()
+    new LinkGraph(e, nodes.join(active, Seq("vid"), "left_semi"), namesAreNumeric)
+  }
+
+  // ---- core accessors ----------------------------------------------------
+
+  /** Distinct directed (src, dst) pairs — the adjacency after multi-edge
+    * collapse (node_store.rs:176-199: one adjacency entry per neighbour). */
+  def dedupEdges: DataFrame = edges.select("src", "dst").distinct()
+
+  /** Distinct undirected neighbour pairs, both orientations, one row per
+    * (v, neighbour); a self-loop yields a single (v, v) row — matching
+    * `neighbours()` BOTH semantics (node_store.rs:252-299). */
+  def undirectedPairs: DataFrame = {
+    val d = edges.select("src", "dst")
+    d.select(col("src").as("a"), col("dst").as("b"))
+      .union(d.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+  }
+
+  /** Distinct out-neighbour count per node; nodes with none get 0.
+    * Self-loops count once per direction (node_store.rs:224-250). */
+  def outDegrees: DataFrame = degreesOf(dedupEdges.groupBy("src").agg(count("*").as("degree")), "src")
+
+  def inDegrees: DataFrame = degreesOf(dedupEdges.groupBy("dst").agg(count("*").as("degree")), "dst")
+
+  /** Undirected distinct-neighbour degree (BOTH); self-loop counts 1. */
+  def degrees: DataFrame =
+    degreesOf(undirectedPairs.groupBy("a").agg(count("*").as("degree")), "a")
+
+  private def degreesOf(d: DataFrame, key: String): DataFrame =
+    nodes.select("vid").join(d.withColumnRenamed(key, "vid"), Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("degree"), lit(0L)).as("degree"))
+
+  def nodeCount: Long = nodes.count()
+
+  /** Unique-edge count (post multi-edge collapse), matching the reference's
+    * `count_edges`. */
+  def edgeCount: Long = dedupEdges.count()
+
+  /** Exploded temporal event count (`count_temporal_edges`). */
+  def edgeEventCount: Long = edges.count()
+
+  def cache(): LinkGraph = {
+    edges.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    this
+  }
+
+  def unpersist(): Unit = { edges.unpersist(); nodes.unpersist() }
+}
+
+object LinkGraph {
+
+  /** Full ingestion pipeline: pages table → hrefs → edge events → vids. */
+  def fromPages(pages: DataFrame): LinkGraph = {
+    val events = Ingest.edgeEvents(pages)
+    fromEdgeEvents(events)
+  }
+
+  def fromEdgeEvents(events: org.apache.spark.sql.Dataset[EdgeEvent]): LinkGraph = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesByUrl = Ingest.mintVids(events).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = ev
+      .join(nodesByUrl.withColumnRenamed("url", "src_url").withColumnRenamed("vid", "src"), Seq("src_url"))
+      .join(nodesByUrl.withColumnRenamed("url", "dst_url").withColumnRenamed("vid", "dst"), Seq("dst_url"))
+      .select($"src", $"dst", $"ts", $"seq", $"layer")
+    val numeric = nodesByUrl.filter(!col("url").rlike("^[0-9]+$")).isEmpty
+    new LinkGraph(e, nodesByUrl.select($"vid", $"url".as("name")), numeric)
+  }
+
+  /** Graph over raw numeric ids: vid = the id itself (no dense minting).
+    * Used when the id space is externally defined (e.g. oracle-checked
+    * queries where component labels must be min-raw-id). Extra columns of
+    * `df` (e.g. an edge weight) are kept on `edges`. */
+  def fromRawEdges(df: DataFrame): LinkGraph = {
+    val withDefaults = Seq("ts" -> lit(0L), "seq" -> lit(0L), "layer" -> lit(Ingest.DefaultLayer))
+      .foldLeft(df) { case (d, (c, v)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, v)
+      }
+    val nodes = df.select(col("src").as("vid"))
+      .union(df.select(col("dst").as("vid"))).distinct()
+      .select(col("vid"), col("vid").cast("string").as("name"))
+    new LinkGraph(withDefaults, nodes, namesAreNumeric = true)
+  }
+
+  /** Fixture loader: edge list in listed order defines VIDs (src resolved
+    * before dst per row — df_loaders.rs:231-257). GIDs as strings; numeric
+    * GID lists (the common fixture case) set namesAreNumeric. */
+  def fromEdgeList(spark: SparkSession, list: Seq[(String, String, Long)],
+                   layer: String = Ingest.DefaultLayer): LinkGraph = {
+    import spark.implicits._
+    val vids = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def vidOf(name: String): Long = vids.getOrElseUpdate(name, vids.size.toLong)
+    val rows = list.zipWithIndex.map { case ((s, d, t), i) =>
+      (vidOf(s), vidOf(d), t, i.toLong, layer)
+    }
+    val e = spark.createDataset(rows).toDF("src", "dst", "ts", "seq", "layer")
+    val n = spark.createDataset(vids.toSeq.map { case (name, vid) => (vid, name) })
+      .toDF("vid", "name")
+    val numeric = vids.keys.forall(k => k.nonEmpty && k.forall(_.isDigit))
+    new LinkGraph(e, n, numeric)
+  }
+
+  def fromNumericEdgeList(spark: SparkSession, list: Seq[(Long, Long, Long)]): LinkGraph =
+    fromEdgeList(spark, list.map { case (s, d, t) => (s.toString, d.toString, t) })
+}

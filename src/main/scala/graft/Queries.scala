@@ -31,8 +31,15 @@ object Queries {
         ((col("o_orderkey") * 31 + col("o_custkey")) % 1009).as("dst"),
         col("o_totalprice").as("weight"))
 
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LinkGraph]
+
+  private[graft] val crawlGraphCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, LinkGraph]
+
   private def graph(spark: SparkSession, dir: String): LinkGraph =
-    LinkGraph.fromRawEdges(orderEvents(spark, dir).select("src", "dst").distinct())
+    graphCache.getOrElseUpdate((spark, dir),
+      LinkGraph.fromRawEdges(orderEvents(spark, dir).select("src", "dst").distinct()))
 
   // NOTE: inside WITH RECURSIVE, DuckDB can treat a CTE body of the form
   // `a UNION b` as an iterative union (losing the dedup), so these use
@@ -41,6 +48,13 @@ object Queries {
     """edges AS (SELECT DISTINCT o_orderkey % 1009 AS src, (o_orderkey * 31 + o_custkey) % 1009 AS dst FROM orders WHERE o_orderkey % 7 < 3),
       |nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges) t0),
       |und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst AS a, src AS b FROM edges) t1)""".stripMargin
+
+  // shared with Queries2
+  private[graft] def graphForTest(spark: SparkSession, dir: String): LinkGraph = graph(spark, dir)
+  private[graft] def orderEventsForTest(spark: SparkSession, dir: String): DataFrame = orderEvents(spark, dir)
+  private[graft] def sqlGraphPrelude: String = sqlGraph
+  private[graft] def table(spark: SparkSession, dir: String, name: String): DataFrame = tbl(spark, dir, name)
+  private[graft] def pagerankOracle(finalSelect: String): String = pagerankSql(finalSelect)
 
   private def one(spark: SparkSession, cols: (String, Column)*): DataFrame =
     spark.range(1).select(cols.map { case (n, c) => c.as(n) }: _*)
@@ -146,7 +160,8 @@ object Queries {
 
     // real crawl pipeline (no SQL oracle — fixture-verified in sbt test):
     "crawl_pagerank_top20" -> ((s, _) => {
-      val g = LinkGraph.fromPages(Corpus.tiny(s).toDF())
+      val g = crawlGraphCache.getOrElseUpdate(s,
+        LinkGraph.fromPages(Corpus.tiny(s).toDF()).cache())
       PageRank.run(g, PageRank.Config(iterCount = 20))
         .orderBy(desc("score"), asc("vid")).limit(20)
     })

@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.LinkGraph
+import graft.algo.{Components, Hits, Lpa, Metrics, PageRank, Pathing, ResultOps, Wcc}
+import graft.dedup.Dedup
+import graft.sim.Ann
+import graft.text.TextOps
+import graft.media.Media
+import graft.streaming.StreamIngest
+
+/** Second query batch: components/pathing operators, result-set ops,
+  * dedup / similarity / text-pipeline operators, windowed event analytics,
+  * multimodal plumbing. Same contract as Queries: column names/types align
+  * with the DuckDB oracle, floats rounded on both sides; rows-only entries
+  * (no oracle) are fixture-verified in sbt test instead. */
+object Queries2 {
+
+  import Queries.{graphForTest => graph, sqlGraphPrelude => sqlGraph, table => tbl}
+
+  private def one(spark: SparkSession, cols: (String, Column)*): DataFrame =
+    spark.range(1).select(cols.map { case (n, c) => c.as(n) }: _*)
+
+  private def tinyCrawl(s: SparkSession): LinkGraph =
+    Queries.crawlGraphCache.getOrElseUpdate(s,
+      LinkGraph.fromPages(graft.io.Corpus.tiny(s).toDF()).cache())
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_scc" -> ((s, d) =>
+      Components.scc(graph(s, d))
+        .select(col("vid").as("id"), col("component_vid").as("component"))),
+    "g_sssp_dist" -> ((s, d) => {
+      val g = graph(s, d)
+      val srcName = g.nodes.agg(min(col("vid"))).head().getLong(0).toString
+      Pathing.sssp(g, srcName, cutoff = 30L)
+        .select(col("vid").as("id"), col("dist"))
+    }),
+    "g_out_component" -> ((s, d) => {
+      val g = graph(s, d)
+      val srcName = g.nodes.agg(min(col("vid"))).head().getLong(0).toString
+      Components.outComponentOf(g, srcName).select(col("vid").as("id"))
+    }),
+    "g_in_component" -> ((s, d) => {
+      val g = graph(s, d)
+      val srcName = g.nodes.agg(min(col("vid"))).head().getLong(0).toString
+      Components.inComponentOf(g, srcName).select(col("vid").as("id"))
+    }),
+    "g_degree_stats" -> ((s, d) =>
+      Metrics.degreeStats(graph(s, d)).select(
+        col("max_degree"), col("min_degree"), round(col("avg_degree"), 6).as("avg_degree"),
+        col("max_out_degree"), col("min_out_degree"),
+        col("max_in_degree"), col("min_in_degree"))),
+    "g_pagerank_median" -> ((s, d) => {
+      val pr = PageRank.run(graph(s, d), PageRank.Config(iterCount = 20, tol = 0.0))
+      one(s, "median" -> round(
+        lit(pr.agg(percentile(col("score"), lit(0.5))).head().getDouble(0)), 9))
+    }),
+    "g_hits" -> ((s, d) => // rows-only: f32-fixture-verified in sbt test
+      Hits.run(graph(s, d), 20)
+        .select(col("vid").as("id"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))),
+    "g_lpa_sync" -> ((s, d) => // rows-only: deterministic scalable LPA
+      Lpa.runSync(graph(s, d), maxSweeps = 8)
+        .select(col("vid").as("id"), col("label"))),
+    "g_kcore3" -> ((s, d) => // rows-only: fixture-verified in sbt test
+      graft.algo.KCore.coreSet(graph(s, d), 3).select(col("vid").as("id"))),
+
+    "t_minhash" -> ((s, d) =>
+      Dedup.minhashSignatures(tbl(s, d, "documents"), nHashes = 8, shingleN = 5)
+        .select(col("doc_id"), col("seed").cast("long").as("seed"), col("minhash"))),
+    "d_lsh_candidates" -> ((s, d) => {
+      val sig = Dedup.minhashSignatures(tbl(s, d, "documents"), nHashes = 8, shingleN = 5)
+      Dedup.lshCandidates(Dedup.lshBuckets(sig, bands = 4, nHashes = 8))
+    }),
+    "d_minhash_jaccard" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val sig = Dedup.minhashSignatures(docs, nHashes = 8, shingleN = 5)
+      val cands = Dedup.lshCandidates(Dedup.lshBuckets(sig, bands = 4, nHashes = 8))
+      Dedup.jaccardVerify(cands, TextOps.charShingles(docs, "doc_id", "text", 5))
+    }),
+    "d_simhash" -> ((s, d) => Dedup.simhash(tbl(s, d, "documents"))),
+    "d_norm_dup" -> ((s, d) => Dedup.normalizedGroups(tbl(s, d, "documents"))),
+    "e_ann_lsh" -> ((s, d) => { // rows-only: FP-order-sensitive buckets
+      val e = tbl(s, d, "embeddings")
+      import s.implicits._
+      Ann.annTopK(e, s.range(10).toDF("id"), k = 5, planes = 8)
+    }),
+    "s_rolling_counts" -> ((s, d) =>
+      tbl(s, d, "events")
+        // parquet naive timestamps read as NTZ in Spark 4; UTC session cast
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_millis(col("w.start")).as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+    "s_rolling_activity" -> ((s, _) => // rows-only: rolling() over crawl event-time
+      StreamIngest.rollingActivity(tinyCrawl(s).edges, 30000L, 30000L)),
+    "m_media_features" -> ((s, d) => { // rows-only: deterministic stub codec
+      Media.extractFeatures(Media.syntheticMedia(s, 200L)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
+          col("height"), col("sample_rate"), col("n_frames"))
+    }),
+    "crawl_wcc_sizes" -> ((s, _) => // rows-only: real pipeline demo
+      ResultOps.groupByValue(
+        Wcc.run(tinyCrawl(s)).select(col("vid"), col("name"), col("component")), "component"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "g_scc" ->
+      s"""WITH RECURSIVE $sqlGraph,
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+         |),
+         |mutual AS (SELECT r1.a, min(r1.b) AS mn FROM reach r1
+         |           JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a)
+         |SELECT n.id, CAST(least(n.id, coalesce(m.mn, n.id)) AS BIGINT) AS component
+         |FROM nodes n LEFT JOIN mutual m ON m.a = n.id""".stripMargin,
+    "g_sssp_dist" ->
+      s"""WITH RECURSIVE $sqlGraph,
+         |dists(id, dist) AS (
+         |  SELECT min(id), 0 FROM nodes
+         |  UNION
+         |  SELECT u.b, dd.dist + 1 FROM dists dd JOIN und u ON u.a = dd.id
+         |  WHERE dd.dist < 30
+         |)
+         |SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM dists GROUP BY id""".stripMargin,
+    "g_out_component" ->
+      s"""WITH RECURSIVE $sqlGraph,
+         |r(id) AS (
+         |  SELECT dst FROM edges WHERE src = (SELECT min(id) FROM nodes)
+         |  UNION
+         |  SELECT e.dst FROM r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT DISTINCT id FROM r""".stripMargin,
+    "g_in_component" ->
+      s"""WITH RECURSIVE $sqlGraph,
+         |r(id) AS (
+         |  SELECT src FROM edges WHERE dst = (SELECT min(id) FROM nodes)
+         |  UNION
+         |  SELECT e.src FROM r JOIN edges e ON e.dst = r.id
+         |)
+         |SELECT DISTINCT id FROM r""".stripMargin,
+    "g_degree_stats" ->
+      s"""WITH $sqlGraph,
+         |ud AS (SELECT n.id, CAST(coalesce(u.c, 0) AS BIGINT) AS degree FROM nodes n
+         |       LEFT JOIN (SELECT a, count(*) AS c FROM und GROUP BY a) u ON u.a = n.id),
+         |od AS (SELECT n.id, CAST(coalesce(o.c, 0) AS BIGINT) AS degree FROM nodes n
+         |       LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) o ON o.src = n.id),
+         |idg AS (SELECT n.id, CAST(coalesce(i.c, 0) AS BIGINT) AS degree FROM nodes n
+         |       LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) i ON i.dst = n.id)
+         |SELECT (SELECT max(degree) FROM ud) AS max_degree,
+         |       (SELECT min(degree) FROM ud) AS min_degree,
+         |       (SELECT round(avg(degree), 6) FROM ud) AS avg_degree,
+         |       (SELECT max(degree) FROM od) AS max_out_degree,
+         |       (SELECT min(degree) FROM od) AS min_out_degree,
+         |       (SELECT max(degree) FROM idg) AS max_in_degree,
+         |       (SELECT min(degree) FROM idg) AS min_in_degree""".stripMargin,
+    "g_pagerank_median" -> Queries.pagerankOracle(
+      "SELECT round(median(score), 9) AS median FROM pr WHERE iter = 20"),
+
+    "t_minhash" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(g AS INT), 5) AS shingle FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS g
+        |    FROM documents) t_expand
+        |),
+        |seeds AS (SELECT CAST(s.seed AS BIGINT) AS seed FROM generate_series(0, 7) s(seed))
+        |SELECT doc_id, seed,
+        |  min(CAST(('0x' || substr(md5(shingle || ':' || seed), 1, 8)) AS BIGINT)) AS minhash
+        |FROM sh, seeds GROUP BY doc_id, seed""".stripMargin,
+    "d_lsh_candidates" -> lshCandSql(withJaccard = false),
+    "d_minhash_jaccard" -> lshCandSql(withJaccard = true),
+    "d_simhash" -> simhashSql,
+    "d_norm_dup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1""".stripMargin,
+    "s_rolling_counts" ->
+      """SELECT CAST(epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+
+  /** MinHash → 4-band buckets → candidate pairs (optionally with exact
+    * shingle Jaccard) in portable SQL. Band bucket = md5 of the
+    * lexicographically sorted "seed:minhash" entries, comma-joined —
+    * byte-identical to Dedup.lshBuckets. */
+  private def lshCandSql(withJaccard: Boolean): String = {
+    val base =
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(g AS INT), 5) AS shingle FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS g
+        |    FROM documents) t_expand
+        |),
+        |seeds AS (SELECT CAST(s.seed AS BIGINT) AS seed FROM generate_series(0, 7) s(seed)),
+        |sig AS (
+        |  SELECT doc_id, seed,
+        |    min(CAST(('0x' || substr(md5(shingle || ':' || seed), 1, 8)) AS BIGINT)) AS minhash
+        |  FROM sh, seeds GROUP BY doc_id, seed
+        |),
+        |bnd AS (
+        |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+        |    md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed || ':' || minhash)) AS bucket
+        |  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bnd l JOIN bnd r ON l.band = r.band AND l.bucket = r.bucket
+        |  WHERE l.doc_id < r.doc_id
+        |)""".stripMargin
+    if (!withJaccard) base + "\nSELECT a, b FROM cand"
+    else base +
+      """,
+        |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, count(*) AS i FROM cand c
+        |  JOIN sh s1 ON s1.doc_id = c.a
+        |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+        |  GROUP BY c.a, c.b
+        |)
+        |SELECT c.a, c.b,
+        |  round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+        |FROM cand c
+        |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        |JOIN szs sa ON sa.doc_id = c.a
+        |JOIN szs sb ON sb.doc_id = c.b""".stripMargin
+  }
+
+  /** 32-bit SimHash in portable SQL (generated bit expressions). */
+  private def simhashSql: String = {
+    val bitSums = (0 until 32).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
+    val terms = (0 until 32).map(j =>
+      s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents
+       |),
+       |h AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+       |  FROM toks WHERE length(tok) > 0
+       |),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
+}

@@ -25,7 +25,7 @@ object SparkEntry {
       .orderBy(desc("score"), asc("vid")).limit(10)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all ++ Queries2.all
 
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ Queries2.oracles
 }

@@ -1,0 +1,142 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.graph.LinkGraph
+
+/** Directed-component algorithms (SURVEY §2.4.5):
+  *
+  *  - `scc` — strongly connected components
+  *    (raphtory/src/algorithms/components/scc.rs:24-130: forward-reachability
+  *    prune + sequential Tarjan). We run an iterative (explicit-stack)
+  *    Tarjan on the collected dedup edge list; the partition is the unique
+  *    SCC partition, labelled canonically by each component's min vid (the
+  *    reference's numeric labels are emission-order indices — partition-
+  *    equal, label-arbitrary).
+  *  - `inComponentOf` / `outComponentOf` — the ancestor / descendant set of
+  *    one node (components/in_components.rs:106, out_components.rs:109) as
+  *    distributed iterative frontier semi-joins.
+  *  - `inComponents` / `outComponents` — per-node ancestor/descendant sets
+  *    for all nodes (in_components.rs:36-105). Output is O(n²) — driver
+  *    bounded; intended for small (sub)graphs, like the reference's
+  *    single-process BFS-per-node.
+  */
+object Components {
+
+  /** Returns (vid, name, component_vid, component). */
+  def scc(g: LinkGraph): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val edges = g.dedupEdges.as[(Long, Long)].collect()
+    val nodes = g.nodes.as[(Long, String)].collect().sortBy(_._1)
+    val names = nodes.toMap
+    val ids = nodes.map(_._1)
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val adj = Array.fill(n)(List.empty[Int])
+    edges.foreach { case (s, d) => adj(idx(s)) = idx(d) :: adj(idx(s)) }
+
+    // iterative Tarjan
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val comp = Array.fill(n)(-1)
+    var counter = 0
+    for (root <- 0 until n if index(root) == -1) {
+      // work stack of (node, remaining neighbours)
+      var work = List((root, adj(root)))
+      index(root) = counter; low(root) = counter; counter += 1
+      stack += root; onStack(root) = true
+      while (work.nonEmpty) {
+        val (v, rest) = work.head
+        rest match {
+          case w :: tail =>
+            work = (v, tail) :: work.tail
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack += w; onStack(w) = true
+              work = (w, adj(w)) :: work
+            } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+          case Nil =>
+            work = work.tail
+            work match {
+              case (parent, _) :: _ => low(parent) = math.min(low(parent), low(v))
+              case Nil =>
+            }
+            if (low(v) == index(v)) {
+              // pop the component; canonical label = min vid member
+              var members = List.empty[Int]
+              var top = -1
+              while (top != v) {
+                top = stack.remove(stack.length - 1)
+                onStack(top) = false
+                members = top :: members
+              }
+              val label = members.map(ids(_)).min
+              members.foreach(m => comp(m) = idx(label))
+            }
+        }
+      }
+    }
+    val rows = (0 until n).map(i => (ids(i), names(ids(i)), ids(comp(i)), names(ids(comp(i)))))
+    spark.createDataset(rows).toDF("vid", "name", "component_vid", "component")
+  }
+
+  /** Descendant set of `source` (nodes reachable over out-edges), excluding
+    * the source itself unless it lies on a cycle — matching out_component. */
+  def outComponentOf(g: LinkGraph, source: String): DataFrame =
+    reach(g, source, forward = true)
+
+  /** Ancestor set of `source` (nodes that reach it over out-edges). */
+  def inComponentOf(g: LinkGraph, source: String): DataFrame =
+    reach(g, source, forward = false)
+
+  private def reach(g: LinkGraph, source: String, forward: Boolean): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val e = if (forward) g.dedupEdges else g.dedupEdges.select($"dst".as("src"), $"src".as("dst"))
+    val eCached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    eCached.count()
+    val src = g.nodes.filter($"name" === source).select($"vid")
+    var frontier = src.join(eCached, src("vid") === eCached("src"))
+      .select($"dst".as("vid")).distinct().localCheckpoint(true)
+    var visited = frontier
+    var done = frontier.isEmpty
+    while (!done) {
+      val next = frontier.join(eCached, frontier("vid") === eCached("src"))
+        .select($"dst".as("vid")).distinct()
+        .join(visited, Seq("vid"), "left_anti")
+        .localCheckpoint(true)
+      done = next.isEmpty
+      if (!done) { visited = visited.union(next).localCheckpoint(true); frontier = next }
+    }
+    eCached.unpersist()
+    visited.join(g.nodes, Seq("vid")).select($"vid", $"name")
+  }
+
+  /** All-nodes ancestor (dir="in") or descendant (dir="out") sets:
+    * (vid, name, members: array of member names, sorted by vid). */
+  def allComponents(g: LinkGraph, dir: String): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val edges0 = g.dedupEdges.as[(Long, Long)].collect()
+    val edges = if (dir == "out") edges0 else edges0.map(_.swap)
+    val nodes = g.nodes.as[(Long, String)].collect().sortBy(_._1)
+    val idx = nodes.map(_._1).zipWithIndex.toMap
+    val n = nodes.length
+    val adj = Array.fill(n)(List.empty[Int])
+    edges.foreach { case (s, d) => adj(idx(s)) = idx(d) :: adj(idx(s)) }
+    val rows = nodes.indices.map { i =>
+      val seen = new Array[Boolean](n)
+      var stack = adj(i)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (stack.nonEmpty) {
+        val v = stack.head; stack = stack.tail
+        if (!seen(v)) { seen(v) = true; out += v; stack = adj(v) ::: stack }
+      }
+      (nodes(i)._1, nodes(i)._2, out.sorted.map(j => nodes(j)._2).toSeq)
+    }
+    spark.createDataset(rows).toDF("vid", "name", "members")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.graph.LinkGraph
+import graft.rng.Rand08
+
+/** Community label propagation with the reference's semantics
+  * (raphtory/src/algorithms/community_detection/label_propagation.rs:21-76):
+  *
+  *  - labels init to each node's own GID;
+  *  - ONE Fisher–Yates shuffle of all nodes (VID order) with
+  *    StdRng::from_seed(seed) — the shuffled order is reused every sweep;
+  *  - asynchronous sweeps: each node adopts the majority label of its
+  *    undirected distinct neighbours using *current* labels; ties break to
+  *    the largest GID (BTreeMap ascending + max_by keeps the last maximum);
+  *  - repeat until a full sweep changes nothing.
+  *
+  * The algorithm is inherently sequential (within-sweep dependencies), so
+  * it has two modes (SURVEY §2.4.3/§7.4):
+  *
+  *  - `runExact`: a driver-local replay of exactly the above, bit-compatible
+  *    with the reference (same ChaCha12 stream) — the fixture-exactness mode;
+  *    bounded by driver memory, intended for ≤ ~10^7-edge (sub)graphs.
+  *  - `runSync`: a scalable deterministic red/black synchronous variant for
+  *    arbitrary scale: nodes update in two colour phases per sweep (by vid
+  *    parity) so each phase is one shuffle-based DataFrame program; same
+  *    majority + largest-GID tie-break. Community *quality* matches LPA;
+  *    the per-node assignment is deterministic but not stream-identical.
+  */
+object Lpa {
+
+  /** GID ordering: all numeric (u64) GIDs sort before all strings
+    * (raphtory-api/src/core/entities/mod.rs:84-88). */
+  private def gidLt(numeric: Boolean)(a: String, b: String): Boolean =
+    if (numeric) java.lang.Long.compareUnsigned(
+      java.lang.Long.parseUnsignedLong(a), java.lang.Long.parseUnsignedLong(b)) < 0
+    else a < b
+
+  /** Exact driver-local replay. Returns (vid, name, label) where label is
+    * the community's final GID. */
+  def runExact(g: LinkGraph, seed: Option[Array[Byte]]): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val nodes = g.nodes.select($"vid", $"name").as[(Long, String)].collect().sortBy(_._1)
+    val n = nodes.length
+    val vidIndex = nodes.map(_._1).zipWithIndex.toMap
+    val names = nodes.map(_._2)
+    val lt = gidLt(g.namesAreNumeric) _
+
+    // undirected distinct adjacency (self-loop => self once)
+    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    g.undirectedPairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      adj(vidIndex(a)) += vidIndex(b)
+    }
+
+    val order = Array.range(0, n)
+    seed match {
+      case Some(s) =>
+        require(s.length == 32, "seed must be 32 bytes")
+        Rand08.shuffle(order, new Rand08.StdRng(s))
+      case None =>
+        Rand08.shuffle(order, new Rand08.StdRng(Array.fill[Byte](32)(0)))
+    }
+
+    val labels = Array.tabulate(n)(i => i) // label = index of the GID owner
+    var changed = true
+    while (changed) {
+      changed = false
+      var oi = 0
+      while (oi < n) {
+        val v = order(oi)
+        val counts = scala.collection.mutable.HashMap.empty[Int, Double]
+        adj(v).foreach { u => counts(labels(u)) = counts.getOrElse(labels(u), 0.0) + 1.0 }
+        if (counts.nonEmpty) {
+          // max count; ties -> largest GID
+          var bestLabel = -1
+          var bestCount = -1.0
+          counts.foreach { case (l, c) =>
+            if (c > bestCount || (c == bestCount && lt(names(bestLabel), names(l))))
+              { bestLabel = l; bestCount = c }
+          }
+          if (bestLabel != labels(v)) { labels(v) = bestLabel; changed = true }
+        }
+        oi += 1
+      }
+    }
+    val rows = nodes.indices.map(i => (nodes(i)._1, names(i), names(labels(i))))
+    spark.createDataset(rows).toDF("vid", "name", "label")
+  }
+
+  /** Scalable deterministic synchronous LPA (red/black by vid parity). */
+  def runSync(g: LinkGraph, maxSweeps: Int = 100): DataFrame =
+    graft.bsp.IterativeConf.withStablePartitioning(g.spark) { runSync0(g, maxSweeps) }
+
+  private def runSync0(g: LinkGraph, maxSweeps: Int): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairs = g.undirectedPairs.repartition(p, $"a")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    // label ordering key: numeric GIDs by value, strings lexicographically
+    val nodes = g.nodes
+    var state = nodes.select($"vid", $"name".as("label"))
+      .repartition(p, $"vid").localCheckpoint(true)
+
+    var sweep = 0
+    var done = false
+    while (!done && sweep < maxSweeps) {
+      var changedTotal = 0L
+      for (color <- 0 to 1) {
+        val counts = state.join(pairs, state("vid") === pairs("a"))
+          .groupBy($"b", $"label").agg(count(lit(1)).as("c"))
+          .withColumn("ord_key",
+            if (g.namesAreNumeric) $"label".cast("long") else $"label")
+        // majority label, ties -> largest GID: lexicographic struct max —
+        // one aggregation instead of a window sort per half-sweep
+        val best = counts.groupBy($"b")
+          .agg(max(struct($"c", $"ord_key", $"label")).as("m"))
+          .select($"b".as("vid"), $"m.label".as("cand"))
+        val newState = state.join(best, Seq("vid"), "left")
+          .select($"vid",
+            when($"vid" % 2 === color && $"cand".isNotNull, $"cand").otherwise($"label").as("label"),
+            ($"vid" % 2 === color && $"cand".isNotNull && $"cand" =!= $"label").as("changed"))
+        val ck = newState.localCheckpoint(true)
+        val changed = ck.agg(sum(when($"changed", 1L).otherwise(0L))).head().getLong(0)
+        changedTotal += changed
+        state = ck.drop("changed")
+      }
+      done = changedTotal == 0
+      sweep += 1
+    }
+    pairs.unpersist()
+    state.join(nodes, Seq("vid")).select($"vid", $"name", $"label")
+  }
+}

@@ -29,10 +29,46 @@ object PageRank {
       iterCount: Int = 20,
       tol: Double = 1e-6,
       damping: Double = 0.85,
-      useL2Norm: Boolean = true)
+      useL2Norm: Boolean = true,
+      /** "auto" picks the CSR fast path when the id space fits in memory
+        * (≤ inMemMaxIds), else the shuffle-based DataFrame supersteps;
+        * "df" / "csr" force a mode. Both modes share exact semantics. */
+      mode: String = "auto",
+      inMemMaxIds: Long = 32L * 1000 * 1000)
 
   /** Returns (vid, name, score). */
   def run(g: LinkGraph, cfg: Config = Config(), ctx: RunContext = RunContext.none): DataFrame = {
+    val maxVid = g.nodes.agg(max("vid")).head() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    if (maxVid < 0) return g.nodes.select(col("vid"), col("name"), lit(0.0).as("score")).limit(0)
+    val useCsr = cfg.mode == "csr" ||
+      (cfg.mode == "auto" && maxVid < math.min(cfg.inMemMaxIds, Int.MaxValue.toLong))
+    if (useCsr) runCsr(g, cfg, ctx) else runDf(g, cfg, ctx)
+  }
+
+  /** One Spark job per superstep: broadcast state, gather over dst-range
+    * CSR blocks (graft.graph.CsrGraph), stitch segments. */
+  private def runCsr(g: LinkGraph, cfg: Config, ctx: RunContext): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val csr = graft.graph.CsrGraph.fromLinkGraph(g, p)
+    val outDeg = graft.graph.CsrGraph.outDegrees(csr)
+    val score = graft.bsp.CsrSuperstep.pageRank(
+      csr, outDeg, cfg.iterCount, cfg.tol, cfg.damping, cfg.useL2Norm, ctx)
+    csr.unpersist()
+    val bc = spark.sparkContext.broadcast(score)
+    val look = udf((v: Long) => bc.value(v.toInt))
+    g.nodes.select($"vid", $"name", look($"vid").as("score"))
+  }
+
+  /** Shuffle-based supersteps — the arbitrary-scale path. */
+  private def runDf(g: LinkGraph, cfg: Config, ctx: RunContext): DataFrame =
+    graft.bsp.IterativeConf.withStablePartitioning(g.spark) { runDf0(g, cfg, ctx) }
+
+  private def runDf0(g: LinkGraph, cfg: Config, ctx: RunContext): DataFrame = {
     val spark = g.spark
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -45,7 +81,7 @@ object PageRank {
 
     // static per-run structures: deduped edges and distinct out-degrees,
     // hash-partitioned once and reused every superstep
-    val edges = g.dedupEdges.repartition(p, $"src").persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = g.dedupEdges.repartition(p, $"src").sortWithinPartitions($"src").persist(StorageLevel.MEMORY_AND_DISK)
     val edgesScattered = edges.count() // also materialises the cache
 
     val outDeg = edges.groupBy($"src").agg(count("*").as("out_degree"))

@@ -1,0 +1,175 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.graph.LinkGraph
+
+/** Path algorithms (SURVEY §2.4.5):
+  *
+  *  - `sssp` — BFS shortest paths over undirected distinct neighbours with
+  *    node-name paths and a level cutoff
+  *    (raphtory/src/algorithms/pathing/single_source_shortest_path.rs:25-77).
+  *    The reference's path *choice* among equal-length paths is HashMap-
+  *    iteration-order dependent (its own test accepts either,
+  *    python/tests/test_algorithms.py:361-368); we make it deterministic:
+  *    min-vid parent wins.
+  *  - `dijkstra` — driver-side binary-heap Dijkstra on an edge weight
+  *    column (pathing/dijkstra.rs:49-200); deterministic smallest-name
+  *    tie-break.
+  *  - `temporallyReachableNodes` — time-respecting taint spread
+  *    (pathing/temporal_reachability.rs:70-200): seeds taint at start_time,
+  *    a tainted node scatters every out-edge *event* with ts ≥ its earliest
+  *    taint time, stop-nodes absorb, loop ends when the tainted set stops
+  *    growing or after max_hops supersteps; result = per node the sorted
+  *    set of (event_time, tainting node name).
+  */
+object Pathing {
+
+  /** Returns (vid, name, dist, path) for reached nodes only. */
+  def sssp(g: LinkGraph, source: String, cutoff: Long = Long.MaxValue): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairs = g.undirectedPairs.repartition(p, $"a").persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    val src = g.nodes.filter($"name" === source)
+    var reached = src.select($"vid", lit(0L).as("dist"), array($"name").as("path"))
+      .localCheckpoint(true)
+    var frontier = reached
+    var level = 0L
+    var done = frontier.isEmpty
+    while (!done && level < cutoff) {
+      level += 1
+      // candidate parents for unreached neighbours; min-vid parent wins
+      val cand = frontier.join(pairs, frontier("vid") === pairs("a"))
+        .select($"b", $"vid".as("parent"), $"path")
+        .join(reached.select($"vid".as("b")), Seq("b"), "left_anti")
+      val next = cand
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"b").orderBy(asc("parent"))))
+        .filter($"rn" === 1)
+        .join(g.nodes.select($"vid".as("b"), $"name".as("bname")), Seq("b"))
+        .select($"b".as("vid"), lit(level).as("dist"),
+          concat($"path", array($"bname")).as("path"))
+        .localCheckpoint(true)
+      done = next.isEmpty
+      if (!done) {
+        reached = reached.union(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    pairs.unpersist()
+    reached.join(g.nodes, Seq("vid")).select($"vid", $"name", $"dist", $"path")
+  }
+
+  /** Driver-side Dijkstra. direction: "out" | "in" | "both". Returns
+    * (target, cost, path). Weight column defaults to 1.0 per event. */
+  def dijkstra(g: LinkGraph, source: String, targets: Seq[String],
+               weightCol: Option[String] = None, direction: String = "both"): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val raw = g.edges.select($"src", $"dst", w.as("w"))
+      .groupBy($"src", $"dst").agg(min($"w").as("w")) // cheapest parallel edge
+      .as[(Long, Long, Double)].collect()
+    val names = g.nodes.as[(Long, String)].collect().toMap
+    val byName = names.map(_.swap)
+    val adj = scala.collection.mutable.HashMap.empty[Long, List[(Long, Double)]]
+    def add(u: Long, v: Long, c: Double): Unit = adj(u) = (v, c) :: adj.getOrElse(u, Nil)
+    raw.foreach { case (s, d, c) =>
+      if (direction == "out" || direction == "both") add(s, d, c)
+      if (direction == "in" || direction == "both") add(d, s, c)
+    }
+    val result = byName.get(source) match {
+      case None => Seq.empty[(String, Double, Seq[String])]
+      case Some(s0) =>
+        val dist = scala.collection.mutable.HashMap[Long, Double](s0 -> 0.0)
+        val prev = scala.collection.mutable.HashMap.empty[Long, Long]
+        val settled = scala.collection.mutable.HashSet.empty[Long]
+        // (cost, name, vid): name in the key makes tie-breaks deterministic
+        val pq = scala.collection.mutable.PriorityQueue.empty[(Double, String, Long)](
+          Ordering.by[(Double, String, Long), (Double, String)](t => (t._1, t._2)).reverse)
+        pq.enqueue((0.0, names(s0), s0))
+        while (pq.nonEmpty) {
+          val (c, _, u) = pq.dequeue()
+          if (!settled(u)) {
+            settled += u
+            adj.getOrElse(u, Nil).foreach { case (v, wuv) =>
+              val nc = c + wuv
+              if (nc < dist.getOrElse(v, Double.MaxValue)) {
+                dist(v) = nc; prev(v) = u
+                pq.enqueue((nc, names(v), v))
+              }
+            }
+          }
+        }
+        targets.flatMap { t =>
+          byName.get(t).filter(dist.contains).map { tv =>
+            var path = List(names(tv)); var cur = tv
+            while (cur != s0) { cur = prev(cur); path = names(cur) :: path }
+            (t, dist(tv), path.toSeq)
+          }
+        }
+    }
+    spark.createDataset(result).toDF("target", "cost", "path")
+  }
+
+  /** Returns (vid, name, history) where history is the sorted array of
+    * "time:srcName" taint events (empty for untouched nodes). */
+  def temporallyReachableNodes(g: LinkGraph, maxHops: Long, startTime: Long,
+                               seeds: Seq[String], stops: Seq[String] = Seq.empty): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // exploded out-edge events (multi-edges each count)
+    val events = g.edges.select($"src", $"dst", $"ts")
+      .repartition(p, $"src").persist(StorageLevel.MEMORY_AND_DISK)
+    events.count()
+    val stopVids = g.nodes.filter($"name".isin(stops: _*)).select($"vid")
+      .as[Long].collect().toSet
+    val seedRows = g.nodes.filter($"name".isin(seeds: _*))
+      .select($"vid", lit(startTime).as("earliest"))
+
+    // history(vid, t, src_name); frontier(vid, earliest)
+    var history = seedRows.select($"vid", lit(startTime).as("t"), lit("start").as("src_name"))
+      .localCheckpoint(true)
+    var state = seedRows.localCheckpoint(true) // tainted set with earliest times
+    var frontier = state
+    var step = 0L
+    var done = frontier.isEmpty
+    val bStops = stopVids
+    while (!done && step < maxHops) {
+      step += 1
+      val scatter = frontier.filter(!$"vid".isin(bStops.toSeq: _*))
+        .join(events, frontier("vid") === events("src"))
+        .filter($"ts" >= $"earliest")
+        .join(g.nodes.select($"vid".as("src"), $"name".as("src_name")), Seq("src"))
+        .select($"dst".as("vid"), $"ts".as("t"), $"src_name")
+      val newMsgs = scatter.except(history).localCheckpoint(true)
+      val touched = newMsgs.groupBy($"vid").agg(min($"t").as("msg_min"))
+      val merged = state.join(touched, Seq("vid"), "full")
+        .select($"vid",
+          least(coalesce($"earliest", lit(Long.MaxValue)),
+            coalesce($"msg_min", lit(Long.MaxValue))).as("earliest"),
+          $"earliest".isNull.as("is_new"),
+          (coalesce($"msg_min", lit(Long.MaxValue)) <
+            coalesce($"earliest", lit(Long.MaxValue))).as("improved"))
+        .localCheckpoint(true)
+      val newCount = merged.filter($"is_new").count()
+      history = history.union(newMsgs.select($"vid", $"t", $"src_name")).localCheckpoint(true)
+      frontier = merged.filter($"is_new" || $"improved").select($"vid", $"earliest")
+        .localCheckpoint(true)
+      state = merged.select($"vid", $"earliest")
+      done = newCount == 0
+    }
+    events.unpersist()
+    val hist = history
+      .withColumn("entry", concat($"t".cast("string"), lit(":"), $"src_name"))
+      .groupBy($"vid").agg(sort_array(collect_list(struct($"t", $"src_name"))).as("sorted"))
+      .select($"vid", expr("transform(sorted, x -> concat(cast(x.t as string), ':', x.src_name))").as("history"))
+    g.nodes.join(hist, Seq("vid"), "left")
+      .select($"vid", $"name",
+        coalesce($"history", array().cast("array<string>")).as("history"))
+  }
+}

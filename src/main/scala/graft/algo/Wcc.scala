@@ -22,14 +22,49 @@ import graft.bsp.{RunContext, StepStat}
   */
 object Wcc {
 
+  val InMemMaxIds: Long = 32L * 1000 * 1000
+
   /** Returns (vid, name, component_vid, component) where `component` is the
-    * representative's GID (name). */
-  def run(g: LinkGraph, iterCount: Long = Long.MaxValue, ctx: RunContext = RunContext.none): DataFrame = {
+    * representative's GID (name). Auto-dispatches between the CSR fast path
+    * (id space fits memory) and the shuffle-based DataFrame supersteps. */
+  def run(g: LinkGraph, iterCount: Long = Long.MaxValue, ctx: RunContext = RunContext.none,
+          mode: String = "auto"): DataFrame = {
+    val maxVid = g.nodes.agg(max("vid")).head() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    if (maxVid < 0)
+      return g.nodes.select(col("vid"), col("name"), col("vid").as("component_vid"),
+        col("name").as("component")).limit(0)
+    val useCsr = mode == "csr" ||
+      (mode == "auto" && maxVid < math.min(InMemMaxIds, Int.MaxValue.toLong))
+    if (useCsr) runCsr(g, iterCount, ctx) else runDf(g, iterCount, ctx)
+  }
+
+  private def runCsr(g: LinkGraph, iterCount: Long, ctx: RunContext): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val csr = graft.graph.CsrGraph.undirectedFromLinkGraph(g, p)
+    val labels = graft.bsp.CsrSuperstep.wcc(csr, iterCount, ctx)
+    csr.unpersist()
+    val bc = spark.sparkContext.broadcast(labels)
+    val look = udf((v: Long) => bc.value(v.toInt).toLong)
+    g.nodes.select($"vid", $"name", look($"vid").as("component_vid"))
+      .join(g.nodes.select($"vid".as("component_vid"), $"name".as("component")),
+        Seq("component_vid"))
+      .select($"vid", $"name", $"component_vid", $"component")
+  }
+
+  private def runDf(g: LinkGraph, iterCount: Long, ctx: RunContext): DataFrame =
+    graft.bsp.IterativeConf.withStablePartitioning(g.spark) { runDf0(g, iterCount, ctx) }
+
+  private def runDf0(g: LinkGraph, iterCount: Long, ctx: RunContext): DataFrame = {
     val spark = g.spark
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    val pairs = g.undirectedPairs.repartition(p, $"a").persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = g.undirectedPairs.repartition(p, $"a").sortWithinPartitions($"a").persist(StorageLevel.MEMORY_AND_DISK)
     val pairCount = pairs.count()
 
     // init: least(vid, min neighbour vid)

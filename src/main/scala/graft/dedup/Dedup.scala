@@ -1,0 +1,135 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication for a web-scale training-data pipeline: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. All definitions are relational (shuffle
+  * shapes: groupBy on hash keys, band-bucket self-joins) and hash-portable
+  * (md5-derived), so they verify against the DuckDB oracle and survive a
+  * 1000-executor scale-up: every stage is a hash-partitioned aggregation
+  * or equi-join — no driver state. */
+object Dedup {
+
+  /** Exact duplicate groups: (text_hash, n_docs, first_doc). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc"))
+
+  /** Normalised (case/whitespace-folded) duplicate groups. */
+  def normalizedGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc"))
+
+  /** MinHash signatures over char-`shingleN`-gram shingles:
+    * (id, seed, minhash) with seeds 0..nHashes-1. */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                        nHashes: Int = 16, shingleN: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val shingles = TextOps.charShingles(docs, idCol, textCol, shingleN)
+    val seeds = spark.range(nHashes).select(col("id").cast("int").as("seed"))
+    shingles.crossJoin(seeds)
+      .select(col(idCol), col("seed"),
+        TextOps.md5u32(concat(col("shingle"), lit(":"), col("seed"))).as("h"))
+      .groupBy(col(idCol), col("seed")).agg(min(col("h")).as("minhash"))
+  }
+
+  /** LSH band buckets over a minhash signature table:
+    * (id, band, bucket) with `bands` bands of nHashes/bands rows. */
+  def lshBuckets(signatures: DataFrame, idCol: String = "doc_id",
+                 bands: Int = 4, nHashes: Int = 16): DataFrame = {
+    val rows = nHashes / bands
+    signatures
+      .withColumn("band", (col("seed") / rows).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      // band bucket id: md5 of the ordered minhash list
+      .agg(md5(concat_ws(",",
+        sort_array(collect_list(concat_ws(":", col("seed"), col("minhash"))))).cast("binary"))
+        .as("bucket"))
+  }
+
+  /** Candidate near-duplicate pairs: ids sharing any band bucket (a < b). */
+  def lshCandidates(buckets: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val r = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact Jaccard over char shingle sets for given candidate pairs:
+    * (a, b, jaccard). */
+  def jaccardVerify(pairs: DataFrame, shingles: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingles.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+      .join(shingles.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(coalesce(col("inter"), lit(0L)) /
+          (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))), 6).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates verified at `threshold`
+    * Jaccard over char shingles. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.7,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      nHashes: Int = 16, bands: Int = 4, shingleN: Int = 5): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, nHashes, shingleN)
+    val cands = lshCandidates(lshBuckets(sig, idCol, bands, nHashes), idCol)
+    val shingles = TextOps.charShingles(docs, idCol, textCol, shingleN)
+    jaccardVerify(cands, shingles, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash over whitespace tokens: sign-sum of md5u32 token-hash
+    * bits. Returns (id, simhash). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tokens = docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", TextOps.md5u32(col("tok")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = tokens.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val value = (0 until 32).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), value.as("simhash"))
+  }
+
+  /** Near-dup candidate pairs by simhash hamming distance ≤ maxDist,
+    * blocked on the top 16 bits (scale path: identical high halves). */
+  def simhashNearDups(sh: DataFrame, maxDist: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    val l = sh.select(shiftright(col("simhash"), 16).as("blk"), col(idCol).as("a"),
+      col("simhash").as("ha"))
+    val r = sh.select(shiftright(col("simhash"), 16).as("blk"), col(idCol).as("b"),
+      col("simhash").as("hb"))
+    l.join(r, Seq("blk")).filter(col("a") < col("b"))
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
+  /** Embedding-cosine near-dup pairs over a full cross product (baseline;
+    * the LSH-bucketed scale path is graft.sim.Ann.annCandidates). */
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val toD = transform(col(vecCol), (x: Column) => x.cast("double"))
+    val v = emb.select(col(idCol), toD.as("v"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+    val l = v.select(col(idCol).as("a"), col("v").as("va"))
+    val r = v.select(col(idCol).as("b"), col("v").as("vb"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb"))))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

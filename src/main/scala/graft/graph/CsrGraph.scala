@@ -1,0 +1,143 @@
+package graft.graph
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.Partitioner
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.functions._
+
+/** One gather-side CSR partition: the adjacency of every destination vertex
+  * in the contiguous id range [lo, hi). `offsets` has hi-lo+1 entries;
+  * the in-neighbours of vertex v are srcs[offsets(v-lo) until offsets(v-lo+1)).
+  *
+  * This is the Spark analogue of the reference's per-layer columnar CSR
+  * (pometry-storage adjacency, raphtory/src/db/api/storage/graph/storage_ops/
+  * disk_graph) packed per *partition* instead of per file — SURVEY §4.3. */
+case class CsrBlock(lo: Int, hi: Int, offsets: Array[Int], srcs: Array[Int])
+
+/** In-memory gather-scatter graph for the superstep fast path.
+  *
+  * Partitioning is an explicit range partitioning of the destination id
+  * space: partition p owns dst ∈ [p·n/P, (p+1)·n/P), so each superstep is
+  * ONE Spark job — broadcast the previous vertex state (dense arrays),
+  * every partition gathers over its CSR block and returns its dense result
+  * segment, the driver stitches segments. No shuffle at all per superstep.
+  *
+  * Bounds: vertex ids must fit Int (n ≤ 2^31) and the per-vertex state
+  * arrays must fit executor+driver memory (8·n bytes per double array) —
+  * the single-machine regime the reference engine lives in
+  * (raphtory README.md:47 "hundreds of millions of edges on your laptop").
+  * Beyond that, the shuffle-based DataFrame supersteps (PageRank.run /
+  * Wcc.run DF path) take over; both modes share exact semantics.
+  */
+class CsrGraph(
+    val n: Int,                       // id space size (max vid + 1)
+    val nPresent: Int,                // actual node count
+    val present: Array[Boolean],
+    val blocks: RDD[CsrBlock],
+    val edgeCount: Long) extends Serializable {
+
+  def unpersist(): Unit = blocks.unpersist()
+}
+
+object CsrGraph {
+
+  private class RangeByDst(parts: Int, n: Int) extends Partitioner {
+    override def numPartitions: Int = parts
+    override def getPartition(key: Any): Int = {
+      val d = key.asInstanceOf[Int]
+      math.min(((d.toLong * parts) / n).toInt, parts - 1)
+    }
+  }
+
+  private def rangeBounds(parts: Int, n: Int, p: Int): (Int, Int) = {
+    // inverse of RangeByDst: partition p owns [ceil(p*n/parts), ceil((p+1)*n/parts))
+    def start(q: Int): Int = (((q.toLong * n) + parts - 1) / parts).toInt
+    // getPartition(d)=floor(d*parts/n); d belongs to p iff d*parts/n == p
+    // smallest d with floor(d*parts/n) >= p is ceil(p*n/parts)
+    (start(p), if (p == parts - 1) n else start(p + 1))
+  }
+
+  /** Pack a (dst, src) pair RDD into dst-range CSR blocks. */
+  def pack(pairs: RDD[(Int, Int)], n: Int, parts: Int,
+           storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): RDD[CsrBlock] = {
+    val partitioner = new RangeByDst(parts, n)
+    pairs.partitionBy(partitioner).mapPartitionsWithIndex({ (pid, it) =>
+      val (lo, hi) = rangeBounds(parts, n, pid)
+      val width = hi - lo
+      val counts = new Array[Int](width + 1)
+      val buf = new scala.collection.mutable.ArrayBuffer[Long](1 << 12)
+      while (it.hasNext) {
+        val (d, s) = it.next()
+        counts(d - lo + 1) += 1
+        buf += (d.toLong << 32) | (s.toLong & 0xffffffffL)
+      }
+      var i = 1
+      while (i <= width) { counts(i) += counts(i - 1); i += 1 }
+      val offsets = counts // prefix sums = offsets
+      val srcs = new Array[Int](buf.length)
+      val cursor = offsets.clone()
+      var j = 0
+      while (j < buf.length) {
+        val packed = buf(j)
+        val d = (packed >>> 32).toInt
+        srcs(cursor(d - lo)) = packed.toInt
+        cursor(d - lo) += 1
+        j += 1
+      }
+      Iterator(CsrBlock(lo, hi, offsets, srcs))
+    }, preservesPartitioning = true).persist(storage)
+  }
+
+  /** Directed gather CSR (in-neighbours per dst) from deduped edges. */
+  def fromLinkGraph(g: LinkGraph, parts: Int): CsrGraph = {
+    val spark = g.spark
+    import spark.implicits._
+    val maxVid = g.nodes.agg(max("vid")).head().getLong(0)
+    require(maxVid < Int.MaxValue, s"CSR fast path requires vid < 2^31, got $maxVid")
+    val n = (maxVid + 1).toInt
+    val presentVids = g.nodes.select("vid").as[Long].collect()
+    val present = new Array[Boolean](n)
+    presentVids.foreach(v => present(v.toInt) = true)
+    val pairs = g.dedupEdges.select($"dst".cast("int"), $"src".cast("int"))
+      .as[(Int, Int)].rdd
+    val blocks = pack(pairs, n, parts)
+    val m = blocks.map(_.srcs.length.toLong).fold(0L)(_ + _)
+    new CsrGraph(n, presentVids.length, present, blocks, m)
+  }
+
+  /** Undirected gather CSR (distinct BOTH-neighbours per vertex). */
+  def undirectedFromLinkGraph(g: LinkGraph, parts: Int): CsrGraph = {
+    val spark = g.spark
+    import spark.implicits._
+    val maxVid = g.nodes.agg(max("vid")).head().getLong(0)
+    require(maxVid < Int.MaxValue)
+    val n = (maxVid + 1).toInt
+    val presentVids = g.nodes.select("vid").as[Long].collect()
+    val present = new Array[Boolean](n)
+    presentVids.foreach(v => present(v.toInt) = true)
+    val pairs = g.undirectedPairs.select($"a".cast("int"), $"b".cast("int"))
+      .as[(Int, Int)].rdd
+    val blocks = pack(pairs, n, parts)
+    val m = blocks.map(_.srcs.length.toLong).fold(0L)(_ + _)
+    new CsrGraph(n, presentVids.length, present, blocks, m)
+  }
+
+  /** Per-source distinct out-degree as a dense array (gather blocks count
+    * each (dst, src) once, so counting srcs across blocks gives the
+    * multi-edge-collapsed out-degree). Tree-reduced partial histograms. */
+  def outDegrees(csr: CsrGraph): Array[Int] = {
+    val n = csr.n
+    csr.blocks.mapPartitions { it =>
+      val h = new Array[Int](n)
+      it.foreach { b =>
+        var i = 0
+        while (i < b.srcs.length) { h(b.srcs(i)) += 1; i += 1 }
+      }
+      Iterator(h)
+    }.treeReduce({ (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }, depth = 2)
+  }
+}

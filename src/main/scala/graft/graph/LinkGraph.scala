@@ -64,6 +64,50 @@ class LinkGraph(
     new LinkGraph(e, nodes.join(active, Seq("vid"), "left_semi"), namesAreNumeric)
   }
 
+  /** Rolling windowed views: [start, start+window), stepping by `step`,
+    * covering the event-time span (db/api/view/time.rs:143-152). Bounds are
+    * fetched once; each element is a lazy filtered view. */
+  def rolling(windowMs: Long, stepMs: Long): Seq[LinkGraph] = {
+    timeBounds.toSeq.flatMap { case (lo, hi) =>
+      Iterator.iterate(lo)(_ + stepMs).takeWhile(_ <= hi)
+        .map(s => window(s, s + windowMs)).toSeq
+    }
+  }
+
+  /** Expanding views: window(-inf, t) for t = lo+step, lo+2·step, ... ≥ hi
+    * (time.rs:154-162). */
+  def expanding(stepMs: Long): Seq[LinkGraph] = {
+    timeBounds.toSeq.flatMap { case (lo, hi) =>
+      Iterator.iterate(lo + stepMs)(_ + stepMs).takeWhile(_ - stepMs < hi)
+        .map(t => window(Long.MinValue, t)).toSeq
+    }
+  }
+
+  def timeBounds: Option[(Long, Long)] = {
+    val r = edges.agg(min(col("ts")), max(col("ts"))).head()
+    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1) + 1))
+  }
+
+  /** Copy this view into an independent graph with vids re-minted densely
+    * in view iteration (= vid) order — the reference's materialize()
+    * (db/api/view/graph.rs:148-260, node remap at 219-237). */
+  def materialize(): LinkGraph = {
+    val spark = this.spark
+    val remapSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("old_vid", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("new_vid", org.apache.spark.sql.types.LongType, false)))
+    val remapRdd = nodes.select(col("vid")).orderBy(col("vid")).rdd.zipWithIndex
+      .map { case (r, i) => org.apache.spark.sql.Row(r.getLong(0), i) }
+    val remap = spark.createDataFrame(remapRdd, remapSchema)
+    val newNodes = nodes.join(remap, nodes("vid") === remap("old_vid"))
+      .select(col("new_vid").as("vid"), col("name"))
+    val newEdges = edges
+      .join(remap.select(col("old_vid").as("src"), col("new_vid").as("src2")), Seq("src"))
+      .join(remap.select(col("old_vid").as("dst"), col("new_vid").as("dst2")), Seq("dst"))
+      .select(col("src2").as("src"), col("dst2").as("dst"), col("ts"), col("seq"), col("layer"))
+    new LinkGraph(newEdges, newNodes, namesAreNumeric)
+  }
+
   // ---- core accessors ----------------------------------------------------
 
   /** Distinct directed (src, dst) pairs — the adjacency after multi-edge
@@ -142,10 +186,14 @@ object LinkGraph {
       .foldLeft(df) { case (d, (c, v)) =>
         if (d.columns.contains(c)) d else d.withColumn(c, v)
       }
+    // the node table derives from a full distinct over the edge list —
+    // persist it, otherwise every algorithm re-runs that shuffle per access
     val nodes = df.select(col("src").as("vid"))
       .union(df.select(col("dst").as("vid"))).distinct()
       .select(col("vid"), col("vid").cast("string").as("name"))
-    new LinkGraph(withDefaults, nodes, namesAreNumeric = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new LinkGraph(withDefaults.persist(StorageLevel.MEMORY_AND_DISK), nodes,
+      namesAreNumeric = true)
   }
 
   /** Fixture loader: edge list in listed order defines VIDs (src resolved

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingestion & windowed analytics.
+  *
+  * The reference has NO streaming runtime (SURVEY §2.8) — "temporal" means
+  * event-time columns queried retrospectively, and `rolling/expanding`
+  * views are query-time iterators (db/api/view/time.rs:143-162). This
+  * module is therefore additive: the same pages→edges extraction as a
+  * Structured Streaming pipeline for live crawls, plus the batch
+  * equivalents of rolling/expanding windows.
+  */
+object StreamIngest {
+
+  /** Live crawl ingestion: watch a directory of pages-shaped parquet,
+    * extract href edge events incrementally, append them as parquet.
+    * Exactly the batch extraction (graft.io.Ingest) lifted to readStream —
+    * the event `seq` becomes (ts, link_idx) ordering scoped per micro-batch
+    * (global dense seq is a batch-compaction concern). */
+  def edgeEventStream(spark: SparkSession, pagesDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("warc_ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("html", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(pagesDir)
+      .select($"url", unix_millis($"warc_ts").as("ts"), $"html")
+      .as[(String, Long, Array[Byte])]
+      .flatMap { case (url, ts, html) =>
+        graft.io.Html.extractHrefs(new String(html, "UTF-8"), url).zipWithIndex.map {
+          case (href, j) => (url, href, ts, j.toLong)
+        }
+      }
+      .toDF("src_url", "dst_url", "ts", "link_idx")
+  }
+
+  /** Start the stream writing edge events to `outDir` (parquet sink with
+    * checkpointing — resumable like everything else in this engine). */
+  def startEdgeIngest(spark: SparkSession, pagesDir: String, outDir: String,
+                      checkpointDir: String): StreamingQuery =
+    edgeEventStream(spark, pagesDir).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Watermarked per-window edge counts by destination host — the live
+    * analogue of `rolling(window, step)` (db/api/view/time.rs:143-152). */
+  def rollingEdgeCounts(events: DataFrame, window_ : String, slide: String,
+                        watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_, slide),
+        regexp_extract(col("dst_url"), "^https?://([^/]+)", 1).as("dst_host"))
+      .agg(count(lit(1)).as("n_edges"))
+
+  /** Batch rolling windows over an edge-event table: one row per
+    * (window_start, window_end) with edge/node activity counts —
+    * `g.rolling(w, s)` as a single windowed aggregation. */
+  def rollingActivity(edges: DataFrame, windowMs: Long, stepMs: Long): DataFrame = {
+    val w = window(timestamp_millis(col("ts")),
+      s"$windowMs milliseconds", s"$stepMs milliseconds")
+    edges.groupBy(w.as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("src"), 0.01).as("n_active_src"))
+      .select(unix_millis(col("w.start")).as("window_start"),
+        unix_millis(col("w.end")).as("window_end"),
+        col("n_events"), col("n_active_src"))
+  }
+}

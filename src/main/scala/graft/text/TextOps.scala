@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for a large-scale training-data pipeline: token counting,
+  * quality scoring, language identification, fingerprinting. All pure
+  * Catalyst column programs (codegen'd, no UDFs); every operator has a
+  * DuckDB-expressible definition so the driver's oracle can replay it. */
+object TextOps {
+
+  /** Whitespace token count (0 for blank text). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0L)
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** (n_chars, punct_ratio, upper_ratio, digit_ratio) quality columns. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("long")
+    def ratio(pattern: String): Column =
+      round((nChars - length(regexp_replace(text, pattern, "")).cast("long")) /
+        greatest(nChars, lit(1L)), 6)
+    Seq(
+      "n_chars" -> nChars,
+      "punct_ratio" -> ratio("[.,;:!?'\"()-]"),
+      "upper_ratio" -> ratio("[A-Z]"),
+      "digit_ratio" -> ratio("[0-9]"))
+  }
+
+  /** Marker-word counts for one language: occurrences of ` word ` in
+    * ' '+lower(text)+' ' via literal replace (regex-free: byte-identical
+    * between engines). */
+  private def markerHits(padded: Column, words: Seq[String]): Column =
+    words.map { w =>
+      val m = s" $w "
+      ((length(padded) - length(expr(s"replace(${paddedName}, ' $w ', '')"))) / m.length).cast("long")
+    }.reduce(_ + _)
+
+  private val paddedName = "__padded"
+
+  /** n-gram-heuristic language id: en/de/fr stopword hit counts + argmax.
+    * Adds (en_hits, de_hits, fr_hits, lang_guess). */
+  def withLangGuess(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val padded = df.withColumn(paddedName, concat(lit(" "), lower(col(textCol)), lit(" ")))
+    padded
+      .withColumn("en_hits", markerHits(col(paddedName), Seq("the", "and", "of")))
+      .withColumn("de_hits", markerHits(col(paddedName), Seq("der", "und", "die")))
+      .withColumn("fr_hits", markerHits(col(paddedName), Seq("le", "la", "et")))
+      .withColumn("lang_guess",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+      .drop(paddedName)
+  }
+
+  /** Whitespace-normalised md5 document fingerprint. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  /** Portable 32-bit hash: first 8 hex digits of md5, as a Long — the
+    * shared hash between Spark and the DuckDB oracle
+    * (('0x' || substr(md5(x),1,8))::BIGINT on the DuckDB side). */
+  def md5u32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Distinct character n-gram shingles: (id, shingle). Texts shorter than
+    * n yield one (possibly short) shingle — the greatest(..., 1) lower
+    * bound keeps Spark's `sequence` ascending AND matches DuckDB's
+    * generate_series in the oracle. */
+  def charShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+        explode(expr(
+          s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substring($textCol, i, $n))"))
+          .as("shingle"))
+      .distinct()
+}

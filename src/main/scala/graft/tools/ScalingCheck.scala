@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.graph.LinkGraph
+import graft.algo.PageRank
+
+/** Measure DF-path PageRank throughput at two core counts. */
+object ScalingCheck {
+  def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder().master(s"local[$cores]")
+      .appName(s"scale-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // spinning-disk /tmp serialises 32 concurrent shuffle writers;
+      // tmpfs restores per-core shuffle bandwidth (cluster analogue: NVMe)
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One measurement leg: `rounds` PageRank runs in one session on a cached
+    * graph; per-superstep wall only (setup/codegen warm after round 1);
+    * returns the best round's edges-scattered/sec. SCALE_MODE=csr measures
+    * the CSR gather path instead of the shuffle path. */
+  def measure(cores: Int, nodes: Long, k: Int, iters: Int, rounds: Int): Double = {
+    val mode = sys.env.getOrElse("SCALE_MODE", "df")
+    val s = session(cores)
+    import s.implicits._
+    val edges = s.range(0, nodes, 1, cores * 4).flatMap { i =>
+      graft.io.Corpus.linkTargets(i, k, 42L).map(j => (i, j))
+    }.toDF("src", "dst")
+    val best =
+      if (mode == "csr") {
+        val pairs = edges.select($"dst".cast("int"), $"src".cast("int")).as[(Int, Int)].rdd
+        val csr = graft.graph.CsrGraph.pack(pairs, nodes.toInt, cores)
+        val m = csr.map(_.srcs.length.toLong).fold(0L)(_ + _)
+        val present = Array.fill(nodes.toInt)(true)
+        val cg = new graft.graph.CsrGraph(nodes.toInt, nodes.toInt, present, csr, m)
+        val outDeg = graft.graph.CsrGraph.outDegrees(cg)
+        (1 to rounds).map { r =>
+          val ctx = new graft.bsp.LocalRunContext
+          graft.bsp.CsrSuperstep.pageRank(cg, outDeg, iters, 0.0, 0.85, true, ctx)
+          val stepsSec = ctx.stats.map(_.wallMs).sum / 1e3
+          val rate = m.toDouble * iters / stepsSec
+          println(f"SCALING mode=csr cores=$cores round=$r steps=$stepsSec%.1f rate=$rate%.0f")
+          rate
+        }.max
+      } else {
+        val g = LinkGraph.fromRawEdges(edges)
+        val m = g.dedupEdges.count()
+        (1 to rounds).map { r =>
+          val ctx = new graft.bsp.LocalRunContext
+          PageRank.run(g, PageRank.Config(iterCount = iters, tol = 0.0, mode = "df"), ctx).count()
+          val stepsSec = ctx.stats.map(_.wallMs).sum / 1e3
+          val rate = m.toDouble * iters / stepsSec
+          println(f"SCALING cores=$cores round=$r steps=$stepsSec%.1f rate=$rate%.0f")
+          rate
+        }.max
+      }
+    s.stop()
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nodes = sys.env.getOrElse("SCALE_NODES", "2000000").toLong
+    val k = 16
+    val iters = 5
+    val rounds = sys.env.getOrElse("SCALE_ROUNDS", "2").toInt
+    val nA = sys.env.getOrElse("SCALE_N", "4").toInt
+    val nB = sys.env.getOrElse("SCALE_4N", (nA * 4).toString).toInt
+    // interleave legs to expose machine-level drift
+    val rAa = measure(nA, nodes, k, iters, rounds)
+    val rBa = measure(nB, nodes, k, iters, rounds)
+    val rA = math.max(rAa, measure(nA, nodes, k, iters, rounds))
+    val rB = math.max(rBa, measure(nB, nodes, k, iters, rounds))
+    println(f"SCALING best$nA=$rA%.0f best$nB=$rB%.0f efficiency=${rB / ((nB.toDouble / nA) * rA)}%.3f")
+  }
+}

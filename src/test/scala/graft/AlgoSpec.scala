@@ -1,0 +1,186 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.LinkGraph
+import graft.algo._
+
+/** Secondary algorithms: HITS, metrics, pathing, components, result ops
+  * against reference fixtures (FIXTURES.md §B5 + test modules). */
+class AlgoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("HITS fixture (hits.rs:180-236), f32-reference tolerance 2e-4") {
+    val edges = Seq(
+      (1L, 4L), (2L, 3L), (2L, 5L), (3L, 1L), (4L, 2L), (4L, 3L), (5L, 2L), (5L, 3L),
+      (5L, 4L), (5L, 6L), (6L, 3L), (6L, 8L), (7L, 1L), (7L, 3L), (8L, 1L)
+    ).zipWithIndex.map { case ((s, d), i) => (s, d, 0L) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    val got = Hits.run(g, 20).collect()
+      .map(r => r.getAs[String]("name") -> (r.getAs[Double]("hub"), r.getAs[Double]("auth"))).toMap
+    val want = Map(
+      "1" -> (0.0431365, 0.096625775), "2" -> (0.14359662, 0.18366566),
+      "3" -> (0.030866561, 0.36886504), "4" -> (0.1865414, 0.12442485),
+      "5" -> (0.26667944, 0.05943252), "6" -> (0.14359662, 0.10755368),
+      "7" -> (0.15471625, 0.0), "8" -> (0.030866561, 0.05943252))
+    assert(got.keySet == want.keySet)
+    for ((k, (h, a)) <- want) {
+      assert(math.abs(got(k)._1 - h) < 2e-4, s"hub $k: ${got(k)._1} vs $h")
+      assert(math.abs(got(k)._2 - a) < 2e-4, s"auth $k: ${got(k)._2} vs $a")
+    }
+  }
+
+  test("degree centrality fixture (test_algorithms.py:311-327)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .map { case (s, d) => (s, d, 0L) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    val got = Metrics.degreeCentrality(g).join(g.nodes, Seq("vid"))
+      .select($"name", $"value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("1" -> 1.0, "2" -> 1.0, "3" -> 2.0 / 3, "4" -> 2.0 / 3))
+  }
+
+  test("max/min degree fixture (test_algorithms.py:329-341)") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L))
+      .map { case (s, d) => (s, d, 0L) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    val r = Metrics.degreeStats(g).head()
+    assert(r.getAs[Long]("max_degree") == 3L)
+    assert(r.getAs[Long]("min_degree") == 2L)
+  }
+
+  test("local clustering coefficient fixture (local_clustering_coefficient.rs:80-110)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 2L), (1L, 4L), (4L, 5L))
+      .map { case (s, d) => (s, d, 0L) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    val got = Metrics.localClusteringCoefficient(g).join(g.nodes, Seq("vid"))
+      .select($"name", $"value").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = Map("1" -> 1.0 / 3, "2" -> 1.0, "3" -> 1.0, "4" -> 0.0, "5" -> 0.0)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-7, s"node $k: ${got(k)} vs $v")
+  }
+
+  test("global clustering coefficient fixture: 2 triangles / 20 triplets = 0.3") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)
+    ).map { case (s, d) => (s, d, 0L) }
+    // K4: triangles=4, triplets: each node degree 3 -> C(3,2)=3, total 12; 3*4/12=1.0
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    assert(Metrics.tripletCount(g) == 12L)
+    assert(math.abs(Metrics.globalClusteringCoefficient(g) - 1.0) < 1e-9)
+  }
+
+  test("reciprocity fixtures (reciprocity.rs doc example)") {
+    val edges = Seq(
+      (1L, 2L), (1L, 4L), (2L, 3L), (3L, 2L), (3L, 1L), (4L, 3L), (4L, 1L), (1L, 5L)
+    ).map { case (s, d) => (s, d, 1L) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    // reciprocal non-self pairs: (2,3)&(3,2); (1,4)&(4,1) => 4 reciprocal of 8
+    assert(math.abs(Metrics.globalReciprocity(g) - 0.5) < 1e-9)
+    val local = Metrics.localReciprocity(g).join(g.nodes, Seq("vid"))
+      .select($"name", $"value").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(local("5") - 0.0) < 1e-9)
+    assert(math.abs(local("2") - (2.0 * 1 / 3)) < 1e-9)
+  }
+
+  test("balance: in minus out over exploded events") {
+    val e = Seq((1L, 2L, 0L, 0L, "_default", 10.0), (1L, 2L, 1L, 1L, "_default", 5.0),
+      (2L, 1L, 2L, 2L, "_default", 3.0))
+      .toDF("src", "dst", "ts", "seq", "layer", "weight")
+    val g = new LinkGraph(e,
+      Seq((1L, "1"), (2L, "2")).toDF("vid", "name"), namesAreNumeric = true)
+    val got = Metrics.balance(g, col("weight")).join(g.nodes, Seq("vid"))
+      .select($"name", $"value").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("1" -> (3.0 - 15.0), "2" -> (15.0 - 3.0)))
+  }
+
+  test("SSSP fixture (test_algorithms.py:343-368)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+      .map { case (s, d) => (s, d, 0L) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    def paths(cutoff: Long) = Pathing.sssp(g, "1", cutoff).collect()
+      .map(r => r.getAs[String]("name") -> r.getSeq[String](r.fieldIndex("path")).toList).toMap
+    assert(paths(1L) == Map("1" -> Seq("1"), "2" -> Seq("1", "2"), "4" -> Seq("1", "4")))
+    assert(paths(2L) == Map("1" -> Seq("1"), "2" -> Seq("1", "2"),
+      "3" -> Seq("1", "2", "3"), "4" -> Seq("1", "4")))
+  }
+
+  test("dijkstra fixture (test_algorithms.py:370-401)") {
+    val edges = Seq(
+      ("A", "B", 4.0), ("A", "C", 4.0), ("B", "C", 2.0), ("C", "D", 3.0),
+      ("C", "E", 1.0), ("C", "F", 6.0), ("D", "F", 2.0), ("E", "F", 3.0))
+    val e = edges.zipWithIndex.map { case ((s, d, w), i) => (s, d, i.toLong, i.toLong, "_default", w) }
+      .toDF("src_name", "dst_name", "ts", "seq", "layer", "weight")
+    val gBase = LinkGraph.fromEdgeList(spark, edges.zipWithIndex.map { case ((s, d, _), i) => (s, d, i.toLong) })
+    // attach weights by re-joining on names
+    val eWithVids = e
+      .join(gBase.nodes.select($"vid".as("src"), $"name".as("src_name")), Seq("src_name"))
+      .join(gBase.nodes.select($"vid".as("dst"), $"name".as("dst_name")), Seq("dst_name"))
+      .select($"src", $"dst", $"ts", $"seq", $"layer", $"weight")
+    val g = new LinkGraph(eWithVids, gBase.nodes, gBase.namesAreNumeric)
+    val r1 = Pathing.dijkstra(g, "A", Seq("F"), Some("weight"), "both").collect()
+    assert(r1.length == 1 && r1.head.getAs[Double]("cost") == 8.0)
+    val r2 = Pathing.dijkstra(g, "B", Seq("D", "E", "F"), Some("weight"), "both").collect()
+      .map(r => r.getAs[String]("target") -> r.getAs[Double]("cost")).toMap
+    assert(r2 == Map("D" -> 5.0, "E" -> 3.0, "F" -> 6.0))
+  }
+
+  test("temporal reachability fixture (test_algorithms.py:290-308)") {
+    val edges = Seq(
+      (10L, 1L, 3L), (11L, 1L, 2L), (12L, 1L, 2L), (9L, 1L, 2L), (12L, 2L, 4L),
+      (13L, 2L, 5L), (14L, 5L, 5L), (14L, 5L, 4L), (5L, 4L, 6L), (15L, 4L, 7L),
+      (10L, 4L, 7L), (10L, 5L, 8L)
+    ).map { case (t, s, d) => (s, d, t) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    val got = Pathing.temporallyReachableNodes(g, 20L, 11L, Seq("1", "2"), Seq("4", "5"))
+      .collect().map(r => r.getAs[String]("name") -> r.getSeq[String](r.fieldIndex("history")).toList).toMap
+    assert(got("1") == Seq("11:start"))
+    assert(got("2") == Seq("11:1", "11:start", "12:1"))
+    assert(got("3") == Seq())
+    assert(got("4") == Seq("12:2"))
+    assert(got("5") == Seq("13:2"))
+    assert(got("6") == Seq()); assert(got("7") == Seq()); assert(got("8") == Seq())
+  }
+
+  test("SCC: cycles collapse, dag nodes are singletons") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L), (5L, 6L))
+      .map { case (s, d) => (s, d, 0L) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    val got = Components.scc(g).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[String]("component")).toMap
+    assert(got("1") == got("2") && got("2") == got("3"))
+    assert(got("4") == got("5"))
+    assert(got("6") != got("5") && got("1") != got("4"))
+  }
+
+  test("in/out component of a node") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 2L)).map { case (s, d) => (s, d, 0L) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    val outC = Components.outComponentOf(g, "1").collect().map(_.getAs[String]("name")).toSet
+    assert(outC == Set("2", "3"))
+    val inC = Components.inComponentOf(g, "3").collect().map(_.getAs[String]("name")).toSet
+    assert(inC == Set("1", "2", "4"))
+    val all = Components.allComponents(g, "out").collect()
+      .map(r => r.getAs[String]("name") -> r.getSeq[String](r.fieldIndex("members")).toList).toMap
+    assert(all("1") == Seq("2", "3"))
+    assert(all("3") == Seq())
+  }
+
+  test("largest connected component (lcc.rs:25-68)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).map { case (s, d) => (s, d, 0L) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    val lcc = Wcc.largestComponent(g)
+    assert(lcc.nodes.collect().map(_.getAs[String]("name")).toSet == Set("1", "2", "3"))
+  }
+
+  test("result ops: top_k, group_by, median") {
+    val res = Seq((0L, "a", 3.0), (1L, "b", 1.0), (2L, "c", 2.0), (3L, "d", 2.0))
+      .toDF("vid", "name", "value")
+    val top = ResultOps.topK(res, "value", 2).collect().map(_.getString(1))
+    assert(top.toSeq == Seq("a", "c"))
+    val grouped = ResultOps.groupByValue(res, "value").collect()
+      .map(r => r.getDouble(0) -> r.getSeq[String](r.fieldIndex("nodes")).toList).toMap
+    assert(grouped(2.0) == Seq("c", "d"))
+    assert(ResultOps.median(res, "value").head().getDouble(0) == 2.0)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Ann
+import graft.text.TextOps
+import graft.media.Media
+
+/** Training-data pipeline operators: dedup family, ANN, text analysis,
+  * multimodal plumbing. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "The  quick Brown fox jumps over the lazy dog"),  // normalized-ish (case/ws differ)
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 0
+    (4L, "completely different content about spark engines and graphs"),
+    (5L, "der hund und die katze und der vogel und die maus"),
+    (6L, "le chat et la souris et le chien et la maison")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups") {
+    val g = Dedup.exactGroups(docs).collect()
+    val dupGroup = g.filter(_.getAs[Long]("n_docs") > 1)
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("first_doc") == 0L)
+    assert(g.map(_.getAs[Long]("n_docs")).sum == 7L)
+  }
+
+  test("minhash LSH finds exact and near dups, skips unrelated") {
+    val nd = Dedup.minhashNearDups(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(nd.contains((0L, 1L)))       // identical
+    assert(nd.contains((0L, 3L)) || nd.contains((1L, 3L))) // near dup
+    assert(!nd.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("simhash: identical texts equal, near texts close, different far") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) == sh(1L))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(sh(0L), sh(3L)) < dist(sh(0L), sh(4L)))
+    val pairs = Dedup.simhashNearDups(Dedup.simhash(docs), maxDist = 0).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a") == 0L && r.getAs[Long]("b") == 1L))
+  }
+
+  test("language id: en/de/fr marker heuristic") {
+    val lang = TextOps.withLangGuess(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_guess")).toMap
+    assert(lang(0L) == "en")
+    assert(lang(5L) == "de")
+    assert(lang(6L) == "fr")
+  }
+
+  test("token count and quality ratios") {
+    val tc = docs.select($"doc_id", TextOps.tokenCount($"text").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc(0L) == 9L)
+    val q = docs.select($"doc_id" +: TextOps.qualityColumns($"text").map { case (n, c) => c.as(n) }: _*)
+    val r0 = q.filter($"doc_id" === 0L).head()
+    assert(r0.getAs[Long]("n_chars") == 43L)
+    assert(r0.getAs[Double]("punct_ratio") == 0.0)
+  }
+
+  def embeddings = {
+    // 8 deterministic 8-dim vectors in two clusters
+    (0 until 8).map { i =>
+      val base = if (i < 4) Array(1.0f, 0.9f, 0.1f, 0f, 0f, 0.2f, 0.8f, 0.1f)
+                 else Array(0f, 0.1f, 1.0f, 0.9f, 0.8f, 0.1f, 0f, 0.7f)
+      val v = base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * ((graft.io.Corpus.splitmix64(i * 31L + d) & 0xf) - 8)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k ranks own cluster first") {
+    val top = Ann.bruteForceTopK(embeddings, Seq(0L).toDF("id"), 3).collect()
+    assert(top.length == 3)
+    assert(top.forall(_.getAs[Long]("neighbor_id") < 4))
+  }
+
+  test("LSH ANN recall vs brute force on clustered vectors") {
+    val queries = Seq(0L, 5L).toDF("id")
+    val exact = Ann.bruteForceTopK(embeddings, queries, 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Ann.annTopK(embeddings, queries, 2, planes = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // recall ≥ 0.5 on this trivially clustered set
+    assert(approx.intersect(exact).size * 2 >= exact.size)
+  }
+
+  test("media: stub decode batch shape, frame sampling, resize plan") {
+    val media = Media.syntheticMedia(spark, 30L)
+    val feats = Media.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.feature.length == Media.FeatureDim))
+    assert(rows.filter(_.kind == "image").forall(f => f.width >= 64 && f.n_frames == 1))
+    // deterministic across runs
+    val again = Media.extractFeatures(media).collect()
+    assert(rows.map(f => (f.media_id, f.width, f.feature.toSeq)).toSet ==
+      again.map(f => (f.media_id, f.width, f.feature.toSeq)).toSet)
+    val frames = Media.sampleFrames(feats, stride = 2, maxFrames = 4)
+    assert(frames.groupBy("media_id").count().collect().forall(_.getLong(1) <= 4))
+    val resize = Media.resizePlan(feats, 128, 128).collect()
+    assert(resize.forall(r => r.getAs[Int]("target_width") <= 128 &&
+      r.getAs[Int]("target_height") <= 128))
+  }
+
+  test("native DotProduct expression == HOF dot, and codegens") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val e = embeddings
+    val hof = e.select($"vec_id",
+      aggregate(zip_with(transform($"embedding", x => x.cast("double")),
+        transform($"embedding", x => x.cast("double")), (x, y) => x * y),
+        lit(0.0), (acc, z) => acc + z).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = e.select($"vec_id",
+      VectorFunctions.dot_product($"embedding", $"embedding").as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hof.keySet == native.keySet)
+    for ((k, v) <- hof) assert(native(k) == v, s"vec $k")
+    // SQL surface too
+    e.createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql("SELECT vec_id, graft_dot_product(embedding, embedding) d FROM emb_t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == native)
+  }
+}

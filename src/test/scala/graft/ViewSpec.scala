@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.LinkGraph
+import graft.algo.PageRank
+
+/** View algebra (SURVEY §1.5): window/layers/subgraph/rolling/expanding/
+  * materialize as lazy Catalyst filters. */
+class ViewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val edges = Seq((1L, 2L, 0L), (2L, 3L, 5L), (3L, 4L, 10L), (4L, 1L, 15L))
+  lazy val g = LinkGraph.fromNumericEdgeList(spark, edges)
+
+  test("window is [start, end) on event time and restricts nodes") {
+    val w = g.window(0L, 6L)
+    assert(w.edgeEventCount == 2)
+    assert(w.nodes.select("name").as[String].collect().toSet == Set("1", "2", "3"))
+    assert(g.at(10L).edgeEventCount == 1)
+    assert(g.before(10L).edgeEventCount == 2)
+    assert(g.after(10L).edgeEventCount == 1)
+  }
+
+  test("rolling and expanding enumerate windowed views") {
+    val rolls = g.rolling(5L, 5L)
+    assert(rolls.map(_.edgeEventCount) == Seq(1, 1, 1, 1))
+    val exps = g.expanding(5L)
+    assert(exps.map(_.edgeEventCount) == Seq(1, 2, 3, 4))
+  }
+
+  test("layers filter edges only") {
+    val mixed = LinkGraph.fromEdgeList(spark,
+      Seq(("a", "b", 0L), ("b", "c", 1L)))
+    assert(mixed.layers(Seq("_default")).edgeEventCount == 2)
+    assert(mixed.layers(Seq("other")).edgeEventCount == 0)
+  }
+
+  test("subgraph induces on both endpoints") {
+    val keep = g.nodes.filter($"name".isin("1", "2", "3")).select($"vid")
+    val sub = g.subgraph(keep)
+    assert(sub.edgeEventCount == 2) // (1,2), (2,3)
+    assert(sub.nodeCount == 3)
+  }
+
+  test("materialize re-mints dense vids in view order and preserves results") {
+    val w = g.window(5L, 16L) // nodes 2,3,4,1 by original vids 1,2,3,0
+    val m = w.materialize()
+    val vids = m.nodes.select("vid").as[Long].collect().sorted
+    assert(vids.toSeq == (0L until m.nodeCount))
+    // PageRank invariant under re-minting (same graph shape)
+    val a = PageRank.run(w).collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val b = PageRank.run(m).collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(a.keySet == b.keySet)
+    for ((k, v) <- a) assert(math.abs(b(k) - v) < 1e-12)
+  }
+
+  test("windowed pagerank differs from full-graph pagerank") {
+    val full = PageRank.run(g).collect().map(_.getDouble(2)).sum
+    assert(math.abs(full - 1.0) < 1e-9)
+  }
+}

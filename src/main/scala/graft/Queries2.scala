@@ -65,6 +65,9 @@ object Queries2 {
         .select(col("vid").as("id"), col("label"))),
     "g_kcore3" -> ((s, d) => // rows-only: fixture-verified in sbt test
       graft.algo.KCore.coreSet(graph(s, d), 3).select(col("vid").as("id"))),
+    "g_betweenness_k50" -> ((s, d) => // rows-only: fixture-verified in sbt test
+      graft.algo.Betweenness.run(graph(s, d), Some(50), normalized = true)
+        .select(col("vid").as("id"), round(col("value"), 6).as("value"))),
 
     "t_minhash" -> ((s, d) =>
       Dedup.minhashSignatures(tbl(s, d, "documents"), nHashes = 8, shingleN = 5)

@@ -24,8 +24,8 @@ object ScalingCheck {
     * graph; per-superstep wall only (setup/codegen warm after round 1);
     * returns the best round's edges-scattered/sec. SCALE_MODE=csr measures
     * the CSR gather path instead of the shuffle path. */
-  def measure(cores: Int, nodes: Long, k: Int, iters: Int, rounds: Int): Double = {
-    val mode = sys.env.getOrElse("SCALE_MODE", "df")
+  def measure(cores: Int, nodes: Long, k: Int, iters: Int, rounds: Int,
+              mode: String = sys.env.getOrElse("SCALE_MODE", "df")): Double = {
     val s = session(cores)
     import s.implicits._
     val edges = s.range(0, nodes, 1, cores * 4).flatMap { i =>

@@ -183,4 +183,17 @@ class AlgoSpec extends AnyFunSuite {
     assert(grouped(2.0) == Seq("c", "d"))
     assert(ResultOps.median(res, "value").head().getDouble(0) == 2.0)
   }
+
+  test("betweenness fixture (betweenness.rs:120-163)") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (2L, 5L),
+      (3L, 4L), (3L, 5L), (3L, 6L), (4L, 3L), (4L, 2L), (4L, 4L)
+    ).map { case (s, d) => (s, d, 0L) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    def res(norm: Boolean) = Betweenness.run(g, None, norm).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Double]("value")).toMap
+    assert(res(false) == Map("1" -> 0.0, "2" -> 1.0, "3" -> 4.0, "4" -> 1.0, "5" -> 0.0, "6" -> 0.0))
+    val n = res(true)
+    assert(math.abs(n("3") - 0.2) < 1e-12 && math.abs(n("2") - 0.05) < 1e-12)
+  }
 }

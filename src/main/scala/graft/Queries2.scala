@@ -68,6 +68,12 @@ object Queries2 {
     "g_betweenness_k50" -> ((s, d) => // rows-only: fixture-verified in sbt test
       graft.algo.Betweenness.run(graph(s, d), Some(50), normalized = true)
         .select(col("vid").as("id"), round(col("value"), 6).as("value"))),
+    "g_bipartite_projection" -> ((s, d) => { // rows-only: fixture-verified in sbt test
+      val g = graph(s, d)
+      val pivots = g.nodes.filter(col("vid") % 2 === 0).select(col("vid"))
+      graft.algo.BipartiteProjection.project(g, pivots, delta = 0L)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_events"))
+    }),
 
     "t_minhash" -> ((s, d) =>
       Dedup.minhashSignatures(tbl(s, d, "documents"), nHashes = 8, shingleN = 5)

@@ -168,7 +168,8 @@ object LinkGraph {
     val spark = events.sparkSession
     import spark.implicits._
     val ev = events.toDF().persist(StorageLevel.MEMORY_AND_DISK)
-    val nodesByUrl = Ingest.mintVids(events).persist(StorageLevel.MEMORY_AND_DISK)
+    ev.count() // materialise before vid minting re-scans the event table
+    val nodesByUrl = Ingest.mintVids(ev.as[EdgeEvent]).persist(StorageLevel.MEMORY_AND_DISK)
     val e = ev
       .join(nodesByUrl.withColumnRenamed("url", "src_url").withColumnRenamed("vid", "src"), Seq("src_url"))
       .join(nodesByUrl.withColumnRenamed("url", "dst_url").withColumnRenamed("vid", "dst"), Seq("dst_url"))

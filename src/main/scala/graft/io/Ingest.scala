@@ -27,9 +27,19 @@ object Ingest {
     * the algorithm adapters, mirroring the reference's adjacency-collapse —
     * raphtory/src/core/entities/nodes/node_store.rs:176-199). */
   def edgeEvents(pages: DataFrame): Dataset[EdgeEvent] = {
+    // cache the raw extraction: the sort below scans it three times
+    // (range-partition sampling, zipWithIndex count, final compute), and
+    // HTML parsing is the expensive part of ingestion
+    val raw = rawLinks(pages).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = withSeq(raw).as(org.apache.spark.sql.Encoders.product[EdgeEvent])
+    out
+  }
+
+  /** Href extraction without seq assignment: (src_url, dst_url, ts, link_idx). */
+  def rawLinks(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val raw = pages
+    pages
       .select($"url", unix_millis($"warc_ts").as("ts"), $"html")
       .as[(String, Long, Array[Byte])]
       .flatMap { case (url, ts, html) =>
@@ -38,7 +48,6 @@ object Ingest {
         }
       }
       .toDF("src_url", "dst_url", "ts", "link_idx")
-    withSeq(raw).as[EdgeEvent]
   }
 
   /** Assign the dense global `seq` by total order (ts, src_url, link_idx).

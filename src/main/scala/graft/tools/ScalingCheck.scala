@@ -25,13 +25,18 @@ object ScalingCheck {
     * returns the best round's edges-scattered/sec. SCALE_MODE=csr measures
     * the CSR gather path instead of the shuffle path. */
   def measure(cores: Int, nodes: Long, k: Int, iters: Int, rounds: Int,
-              mode: String = sys.env.getOrElse("SCALE_MODE", "df")): Double = {
+              mode: String = sys.env.getOrElse("SCALE_MODE", "df")): Double =
+    measureRounds(cores, nodes, k, iters, rounds, mode).max
+
+  /** All per-round rates (edges-scattered/sec). */
+  def measureRounds(cores: Int, nodes: Long, k: Int, iters: Int, rounds: Int,
+              mode: String = sys.env.getOrElse("SCALE_MODE", "df")): Seq[Double] = {
     val s = session(cores)
     import s.implicits._
     val edges = s.range(0, nodes, 1, cores * 4).flatMap { i =>
       graft.io.Corpus.linkTargets(i, k, 42L).map(j => (i, j))
     }.toDF("src", "dst")
-    val best =
+    val best: Seq[Double] =
       if (mode == "csr") {
         val pairs = edges.select($"dst".cast("int"), $"src".cast("int")).as[(Int, Int)].rdd
         val csr = graft.graph.CsrGraph.pack(pairs, nodes.toInt, cores)
@@ -46,7 +51,7 @@ object ScalingCheck {
           val rate = m.toDouble * iters / stepsSec
           println(f"SCALING mode=csr cores=$cores round=$r steps=$stepsSec%.1f rate=$rate%.0f")
           rate
-        }.max
+        }
       } else {
         val g = LinkGraph.fromRawEdges(edges)
         val m = g.dedupEdges.count()
@@ -57,7 +62,7 @@ object ScalingCheck {
           val rate = m.toDouble * iters / stepsSec
           println(f"SCALING cores=$cores round=$r steps=$stepsSec%.1f rate=$rate%.0f")
           rate
-        }.max
+        }
       }
     s.stop()
     best

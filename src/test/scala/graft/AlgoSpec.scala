@@ -196,4 +196,28 @@ class AlgoSpec extends AnyFunSuite {
     val n = res(true)
     assert(math.abs(n("3") - 0.2) < 1e-12 && math.abs(n("2") - 0.05) < 1e-12)
   }
+
+  test("temporal bipartite projection fixtures (temporal_bipartite_projection.rs:78-131)") {
+    val edges = Seq(
+      ("A", "1", 1L), ("A", "2", 3L), ("B", "2", 3L), ("C", "3", 4L),
+      ("B", "3", 6L), ("A", "3", 8L), ("C", "4", 10L), ("B", "4", 11L))
+    val g = LinkGraph.fromEdgeList(spark, edges)
+    val pivots = Seq("1", "2", "3", "4")
+    def proj(delta: Long) = BipartiteProjection.projectByNames(g, pivots, delta)
+      .join(g.nodes.select($"vid".as("src"), $"name".as("sname")), Seq("src"))
+      .join(g.nodes.select($"vid".as("dst"), $"name".as("dname")), Seq("dst"))
+      .select($"sname", $"dname", $"ts").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val d1 = proj(1L)
+    assert(d1.exists { case (s, d, t) => s == "A" && d == "B" && t == 3L })
+    assert(d1.exists { case (s, d, t) => s == "C" && d == "B" && t == 10L })
+    assert(!d1.exists { case (s, d, _) => Set(s, d) == Set("A", "C") })
+    val d3 = proj(3L)
+    val ab = d3.filter { case (s, d, _) => s == "A" && d == "B" } .map(_._3)
+    val ba = d3.filter { case (s, d, _) => s == "B" && d == "A" } .map(_._3)
+    assert((ab ++ ba).min == 3L && (ab ++ ba).max == 7L)
+    val cb = d3.filter { case (s, d, _) => s == "C" && d == "B" } .map(_._3)
+    assert(cb.min == 5L && cb.max == 10L)
+    assert(!d3.exists { case (s, d, _) => Set(s, d) == Set("A", "C") })
+  }
 }

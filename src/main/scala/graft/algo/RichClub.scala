@@ -1,0 +1,47 @@
+package graft.algo
+
+import org.apache.spark.sql.functions._
+import graft.graph.LinkGraph
+
+/** Temporal rich-club coefficient
+  * (raphtory/src/algorithms/motifs/temporal_rich_club_coefficient.rs:39-97):
+  *
+  *  - S_k = nodes whose undirected distinct degree in the aggregate graph
+  *    is ≥ k (the "club"); result 0 if |S_k| ≤ 1;
+  *  - over every sliding window of `windowSize` consecutive views, the
+  *    stable club edges are the intersection across the window of each
+  *    view's canonical undirected non-self edges within S_k;
+  *  - value = max over windows of |stable| / C(|S_k|, 2).
+  *
+  * Each view's club edge set is computed as a Spark job (a filter +
+  * semi-join over the windowed edge table); the per-window intersection and
+  * max run on the driver over those (small, club-bounded) sets — mirroring
+  * the reference's per-view fold. */
+object RichClub {
+
+  def temporalRichClub(agg: LinkGraph, views: Seq[LinkGraph], k: Int, windowSize: Int): Double = {
+    val spark = agg.spark
+    import spark.implicits._
+    val sk = agg.degrees.filter(col("degree") >= k).select($"vid").as[Long].collect().toSet
+    if (sk.size <= 1) return 0.0
+    val bSk = agg.spark.sparkContext.broadcast(sk)
+    val edgeSets: Seq[Set[(Long, Long)]] = views.map { v =>
+      v.dedupEdges
+        .filter($"src" =!= $"dst")
+        .filter(udf((s: Long, d: Long) => bSk.value.contains(s) && bSk.value.contains(d))
+          .apply($"src", $"dst"))
+        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .distinct().as[(Long, Long)].collect().toSet
+    }
+    bSk.destroy()
+    val possible = sk.size.toLong * (sk.size - 1) / 2
+    edgeSets.sliding(windowSize).filter(_.size == windowSize)
+      .map(w => w.reduce(_ intersect _).size.toDouble / possible)
+      .foldLeft(0.0)(math.max)
+  }
+
+  /** Convenience: rolling(window, step) views of the aggregate graph. */
+  def temporalRichClubRolling(agg: LinkGraph, rollWindowMs: Long, rollStepMs: Long,
+                              k: Int, windowSize: Int): Double =
+    temporalRichClub(agg, agg.rolling(rollWindowMs, rollStepMs), k, windowSize)
+}

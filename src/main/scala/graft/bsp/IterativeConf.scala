@@ -10,9 +10,14 @@ import org.apache.spark.sql.SparkSession
   * rest of the session keeps it on. */
 object IterativeConf {
   def withStablePartitioning[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, prev)
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      // shuffled-hash beats sort-merge for the per-superstep joins: the
+      // state side rebuilds every superstep, so SMJ pays a sort per
+      // iteration that SHJ avoids
+      "spark.sql.join.preferSortMergeJoin" -> sys.env.getOrElse("GRAFT_PREFER_SMJ_OFF", "false"))
+    val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }

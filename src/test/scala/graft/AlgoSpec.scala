@@ -220,4 +220,19 @@ class AlgoSpec extends AnyFunSuite {
     assert(cb.min == 5L && cb.max == 10L)
     assert(!d3.exists { case (s, d, _) => Set(s, d) == Set("A", "C") })
   }
+
+  test("temporal rich club fixtures (temporal_rich_club_coefficient.rs:166-180)") {
+    val edges = Seq(
+      (1L,1L,2L),(1L,1L,3L),(1L,1L,4L),(1L,2L,3L),(1L,2L,4L),(1L,3L,4L),(1L,4L,5L),
+      (2L,1L,2L),(2L,1L,3L),(2L,1L,4L),(2L,3L,4L),(2L,2L,6L),
+      (3L,1L,2L),(3L,2L,4L),(3L,3L,4L),(3L,1L,4L),(3L,1L,3L),(3L,1L,7L),
+      (4L,1L,2L),(4L,1L,3L),(4L,1L,4L),(4L,2L,8L),
+      (5L,1L,2L),(5L,1L,3L),(5L,1L,4L),(5L,2L,4L),(5L,3L,9L)
+    ).map { case (t, s, d) => (s, d, t) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    val views = g.rolling(1L, 1L)
+    assert(math.abs(RichClub.temporalRichClub(g, views, 3, 1) - 1.0) < 1e-3)
+    assert(math.abs(RichClub.temporalRichClub(g, views, 3, 3) - 2.0 / 3) < 1e-3)
+    assert(math.abs(RichClub.temporalRichClub(g, views, 3, 5) - 0.5) < 1e-3)
+  }
 }

@@ -35,8 +35,7 @@ class CorpusSpec extends AnyFunSuite {
     // stability golden: sha-256 of page 7 text for seed 42 / k=2
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(p.text.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(sha == CorpusSpec.Page7Sha || CorpusSpec.Page7Sha == "record",
-      s"text hash drifted: $sha")
+    assert(sha == CorpusSpec.Page7Sha, s"text hash drifted: $sha")
   }
 
   test("tiny corpus end-to-end: pages -> edges -> vids") {
@@ -72,5 +71,5 @@ class CorpusSpec extends AnyFunSuite {
 
 object CorpusSpec {
   // golden text hash for (seed=42, k=2, page 7); recorded on first run
-  val Page7Sha = "record"
+  val Page7Sha = "2e7a6e174c2a726de3908114b626d5939bb7c6684f0ffd2f3dab29c78ef950d2"
 }

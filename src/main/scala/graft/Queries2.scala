@@ -68,6 +68,13 @@ object Queries2 {
     "g_betweenness_k50" -> ((s, d) => // rows-only: fixture-verified in sbt test
       graft.algo.Betweenness.run(graph(s, d), Some(50), normalized = true)
         .select(col("vid").as("id"), round(col("value"), 6).as("value"))),
+    "g_temporal_motifs" -> ((s, d) => { // rows-only: exact 40-count fixture in sbt test
+      val g = graph(s, d)
+      val counts = graft.algo.TemporalMotifs.globalCounts(g, delta = 5L)
+      import s.implicits._
+      s.createDataset(counts.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+        .toDF("motif", "n")
+    }),
     "g_bipartite_projection" -> ((s, d) => { // rows-only: fixture-verified in sbt test
       val g = graph(s, d)
       val pivots = g.nodes.filter(col("vid") % 2 === 0).select(col("vid"))

@@ -114,10 +114,13 @@ object Bench {
       // round swings up to 6x), so per parallelism we take the best round
       // across two interleaved legs as the interference-free estimate and
       // record every round for transparency
-      val r8a = measureRounds(8, scaleNodes, scaleK, iters, rounds, "csr")
-      val r32a = measureRounds(32, scaleNodes, scaleK, iters, rounds, "csr")
-      val r8 = r8a ++ measureRounds(8, scaleNodes, scaleK, iters, rounds, "csr")
-      val r32 = r32a ++ measureRounds(32, scaleNodes, scaleK, iters, rounds, "csr")
+      val legs = 3 // host-noise phases can swallow a whole leg; spread legs in time
+      var r8 = Seq.empty[Double]
+      var r32 = Seq.empty[Double]
+      for (_ <- 1 to legs) {
+        r8 = r8 ++ measureRounds(8, scaleNodes, scaleK, iters, rounds, "csr")
+        r32 = r32 ++ measureRounds(32, scaleNodes, scaleK, iters, rounds, "csr")
+      }
       val thr8 = r8.max
       val thr32 = r32.max
       extra("scaling_mode") = "csr-superstep"

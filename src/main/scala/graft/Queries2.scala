@@ -117,6 +117,11 @@ object Queries2 {
         .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
           col("height"), col("sample_rate"), col("n_frames"))
     }),
+    "crawl_seir" -> ((s, _) => { // rows-only: deterministic seeded epidemic
+      val g = tinyCrawl(s)
+      graft.algo.Seir.run(g, Seq(graft.io.Corpus.url(1)),
+        graft.algo.Seir.Config(infectionProb = 0.8, initialInfection = graft.io.Corpus.BaseMillis))
+    }),
     "crawl_wcc_sizes" -> ((s, _) => // rows-only: real pipeline demo
       ResultOps.groupByValue(
         Wcc.run(tinyCrawl(s)).select(col("vid"), col("name"), col("component")), "component"))

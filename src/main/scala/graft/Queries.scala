@@ -24,11 +24,16 @@ object Queries {
 
   // ---- the orders-derived graph (identical definition in SQL below) ------
 
+  /** The orders-derived temporal event log: each kept order is one edge
+    * event at ts = seq = o_orderkey, so temporal operators (motifs,
+    * bipartite projection, windows) see a real, SQL-reproducible timeline.
+    * Structural operators read the multi-edge-collapsed `dedupEdges`. */
   private def orderEvents(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
       .filter(col("o_orderkey") % 7 < 3)
       .select((col("o_orderkey") % 1009).as("src"),
         ((col("o_orderkey") * 31 + col("o_custkey")) % 1009).as("dst"),
+        col("o_orderkey").as("ts"), col("o_orderkey").as("seq"),
         col("o_totalprice").as("weight"))
 
   private val graphCache =
@@ -39,13 +44,27 @@ object Queries {
 
   private def graph(spark: SparkSession, dir: String): LinkGraph =
     graphCache.getOrElseUpdate((spark, dir),
-      LinkGraph.fromRawEdges(orderEvents(spark, dir).select("src", "dst").distinct()))
+      LinkGraph.fromRawEdges(orderEvents(spark, dir).select("src", "dst", "ts", "seq")))
+
+  /** PageRank (20 iters, tol 0) memoized per (session, sfDir): three driver
+    * queries (scores / top10 / median) share one run. */
+  private val prCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def pagerank20(spark: SparkSession, dir: String): DataFrame =
+    prCache.getOrElseUpdate((spark, dir), {
+      val r = PageRank.run(graph(spark, dir), PageRank.Config(iterCount = 20, tol = 0.0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    })
 
   // NOTE: inside WITH RECURSIVE, DuckDB can treat a CTE body of the form
   // `a UNION b` as an iterative union (losing the dedup), so these use
   // DISTINCT over UNION ALL explicitly.
   private val sqlGraph =
-    """edges AS (SELECT DISTINCT o_orderkey % 1009 AS src, (o_orderkey * 31 + o_custkey) % 1009 AS dst FROM orders WHERE o_orderkey % 7 < 3),
+    """ev AS (SELECT o_orderkey % 1009 AS src, (o_orderkey * 31 + o_custkey) % 1009 AS dst, o_orderkey AS ts, o_orderkey AS seq FROM orders WHERE o_orderkey % 7 < 3),
+      |edges AS (SELECT DISTINCT src, dst FROM ev),
       |nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges) t0),
       |und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst AS a, src AS b FROM edges) t1)""".stripMargin
 
@@ -94,11 +113,9 @@ object Queries {
       Wcc.run(graph(s, d)).groupBy(col("component_vid").as("component"))
         .agg(count(lit(1)).as("n_nodes"))),
     "g_pagerank" -> ((s, d) =>
-      PageRank.run(graph(s, d), PageRank.Config(iterCount = 20, tol = 0.0))
-        .select(col("vid").as("id"), round(col("score"), 9).as("score"))),
+      pagerank20(s, d).select(col("vid").as("id"), round(col("score"), 9).as("score"))),
     "g_pagerank_top10" -> ((s, d) =>
-      PageRank.run(graph(s, d), PageRank.Config(iterCount = 20, tol = 0.0))
-        .select(col("vid").as("id"), round(col("score"), 6).as("score"))
+      pagerank20(s, d).select(col("vid").as("id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("id")).limit(10)),
     "g_balance" -> ((s, d) =>
       Metrics.balance(LinkGraph.fromRawEdges(orderEvents(s, d)), col("weight"))
@@ -158,18 +175,33 @@ object Queries {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
     }),
 
-    // real crawl pipeline (no SQL oracle — fixture-verified in sbt test):
+    // real crawl pipeline: oracled over the aux-dumped crawl tables
+    // (Verify.dumpAux) via read_parquet in DuckDB.
     "crawl_pagerank_top20" -> ((s, _) => {
       val g = crawlGraphCache.getOrElseUpdate(s,
         LinkGraph.fromPages(Corpus.tiny(s).toDF()).cache())
-      PageRank.run(g, PageRank.Config(iterCount = 20))
-        .orderBy(desc("score"), asc("vid")).limit(20)
+      PageRank.run(g, PageRank.Config(iterCount = 20, tol = 0.0))
+        .select(col("vid").as("id"), col("name"), round(col("score"), 9).as("score"))
+        .orderBy(desc("score"), asc("id")).limit(20)
     })
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
 
+  /** The aux-dumped tiny-crawl graph (Verify.dumpAux) as oracle CTEs. */
+  private[graft] val crawlSqlGraph =
+    s"""cedges AS (SELECT src, dst, ts, seq FROM read_parquet('${Verify.AuxDir}/crawl_edges.parquet/*.parquet')),
+       |cnodes AS (SELECT vid, name FROM read_parquet('${Verify.AuxDir}/crawl_nodes.parquet/*.parquet')),
+       |edges AS (SELECT DISTINCT src, dst FROM cedges),
+       |nodes AS (SELECT vid AS id FROM cnodes),
+       |und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst AS a, src AS b FROM edges) t1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "crawl_pagerank_top20" -> pagerankSqlOver(crawlSqlGraph,
+      """SELECT p.id, c.name, round(p.score, 9) AS score FROM pr p
+        |JOIN cnodes c ON c.vid = p.id
+        |WHERE p.iter = 20
+        |ORDER BY round(p.score, 9) DESC, p.id LIMIT 20""".stripMargin),
     "g_degrees" ->
       s"""WITH $sqlGraph
          |SELECT n.id,
@@ -301,7 +333,12 @@ object Queries {
     * CTE — semantically the reference's superstep including the dangling
     * term (pagerank.rs:88-126). */
   private def pagerankSql(finalSelect: String): String =
-    s"""WITH RECURSIVE $sqlGraph,
+    pagerankSqlOver(sqlGraph, finalSelect)
+
+  /** Same, over any prelude that defines `edges(src, dst)` (distinct
+    * directed) and `nodes(id)` CTEs — used for the aux-dumped crawl graph. */
+  private[graft] def pagerankSqlOver(prelude: String, finalSelect: String): String =
+    s"""WITH RECURSIVE $prelude,
        |outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |transfer AS (

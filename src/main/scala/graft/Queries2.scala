@@ -26,6 +26,20 @@ object Queries2 {
     Queries.crawlGraphCache.getOrElseUpdate(s,
       LinkGraph.fromPages(graft.io.Corpus.tiny(s).toDF()).cache())
 
+  /** LSH candidate pairs memoized per (session, sfDir): d_lsh_candidates
+    * and d_minhash_jaccard share one signature + bucket computation. */
+  private val lshCandCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def lshCands(s: SparkSession, d: String): DataFrame =
+    lshCandCache.getOrElseUpdate((s, d), {
+      val wide = Dedup.minhashWide(tbl(s, d, "documents"), nHashes = 8, shingleN = 5)
+      val c = Dedup.lshCandidates(Dedup.lshBucketsWide(wide, bands = 4, nHashes = 8))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    })
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_scc" -> ((s, d) =>
       Components.scc(graph(s, d))
@@ -56,44 +70,39 @@ object Queries2 {
       one(s, "median" -> round(
         lit(pr.agg(percentile(col("score"), lit(0.5))).head().getDouble(0)), 9))
     }),
-    "g_hits" -> ((s, d) => // rows-only: f32-fixture-verified in sbt test
-      Hits.run(graph(s, d), 20)
+    "g_hits" -> ((s, d) => // fixed 20 iterations (tol 0) => oracle-reproducible
+      Hits.run(graph(s, d), 20, tol = 0.0)
         .select(col("vid").as("id"), round(col("hub"), 6).as("hub"),
           round(col("auth"), 6).as("auth"))),
-    "g_lpa_sync" -> ((s, d) => // rows-only: deterministic scalable LPA
+    "g_lpa_sync" -> ((s, d) => // deterministic scalable LPA, 8 sweeps
       Lpa.runSync(graph(s, d), maxSweeps = 8)
         .select(col("vid").as("id"), col("label"))),
-    "g_kcore3" -> ((s, d) => // rows-only: fixture-verified in sbt test
+    "g_kcore3" -> ((s, d) =>
       graft.algo.KCore.coreSet(graph(s, d), 3).select(col("vid").as("id"))),
     "g_betweenness_k50" -> ((s, d) => // rows-only: fixture-verified in sbt test
       graft.algo.Betweenness.run(graph(s, d), Some(50), normalized = true)
         .select(col("vid").as("id"), round(col("value"), 6).as("value"))),
     "g_temporal_motifs" -> ((s, d) => { // rows-only: exact 40-count fixture in sbt test
       val g = graph(s, d)
-      val counts = graft.algo.TemporalMotifs.globalCounts(g, delta = 5L)
+      val counts = graft.algo.TemporalMotifs.globalCounts(g, delta = 32L)
       import s.implicits._
       s.createDataset(counts.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
         .toDF("motif", "n")
     }),
-    "g_bipartite_projection" -> ((s, d) => { // rows-only: fixture-verified in sbt test
+    "g_bipartite_projection" -> ((s, d) => {
       val g = graph(s, d)
       val pivots = g.nodes.filter(col("vid") % 2 === 0).select(col("vid"))
-      graft.algo.BipartiteProjection.project(g, pivots, delta = 0L)
+      graft.algo.BipartiteProjection.project(g, pivots, delta = 50L)
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_events"))
     }),
 
     "t_minhash" -> ((s, d) =>
       Dedup.minhashSignatures(tbl(s, d, "documents"), nHashes = 8, shingleN = 5)
         .select(col("doc_id"), col("seed").cast("long").as("seed"), col("minhash"))),
-    "d_lsh_candidates" -> ((s, d) => {
-      val sig = Dedup.minhashSignatures(tbl(s, d, "documents"), nHashes = 8, shingleN = 5)
-      Dedup.lshCandidates(Dedup.lshBuckets(sig, bands = 4, nHashes = 8))
-    }),
+    "d_lsh_candidates" -> ((s, d) => lshCands(s, d)),
     "d_minhash_jaccard" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val sig = Dedup.minhashSignatures(docs, nHashes = 8, shingleN = 5)
-      val cands = Dedup.lshCandidates(Dedup.lshBuckets(sig, bands = 4, nHashes = 8))
-      Dedup.jaccardVerify(cands, TextOps.charShingles(docs, "doc_id", "text", 5))
+      Dedup.jaccardVerify(lshCands(s, d), TextOps.charShingles(docs, "doc_id", "text", 5))
     }),
     "d_simhash" -> ((s, d) => Dedup.simhash(tbl(s, d, "documents"))),
     "d_norm_dup" -> ((s, d) => Dedup.normalizedGroups(tbl(s, d, "documents"))),
@@ -110,7 +119,7 @@ object Queries2 {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .select(unix_millis(col("w.start")).as("window_start"), col("event_type"),
           col("n"), col("sum_value"))),
-    "s_rolling_activity" -> ((s, _) => // rows-only: rolling() over crawl event-time
+    "s_rolling_activity" -> ((s, _) => // rolling() over crawl event-time
       StreamIngest.rollingActivity(tinyCrawl(s).edges, 30000L, 30000L)),
     "m_media_features" -> ((s, d) => { // rows-only: deterministic stub codec
       Media.extractFeatures(Media.syntheticMedia(s, 200L)).toDF()
@@ -122,9 +131,11 @@ object Queries2 {
       graft.algo.Seir.run(g, Seq(graft.io.Corpus.url(1)),
         graft.algo.Seir.Config(infectionProb = 0.8, initialInfection = graft.io.Corpus.BaseMillis))
     }),
-    "crawl_wcc_sizes" -> ((s, _) => // rows-only: real pipeline demo
-      ResultOps.groupByValue(
-        Wcc.run(tinyCrawl(s)).select(col("vid"), col("name"), col("component")), "component"))
+    "crawl_wcc_sizes" -> ((s, _) => // scalar columns only: the driver's
+      // pandas compare cannot hash array cells (round-1 hard error)
+      Wcc.run(tinyCrawl(s))
+        .groupBy(col("component_vid").as("component"))
+        .agg(count(lit(1)).as("n_nodes")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -181,6 +192,116 @@ object Queries2 {
          |       (SELECT min(degree) FROM idg) AS min_in_degree""".stripMargin,
     "g_pagerank_median" -> Queries.pagerankOracle(
       "SELECT round(median(score), 9) AS median FROM pr WHERE iter = 20"),
+    // HITS: 20 normalized power iterations via a tagged transfer matrix —
+    // kind 'h' scatters hub(u) to recv_hub(v) along u→v, kind 'a' scatters
+    // auth(v) to recv_auth(u) against it; zero self-rows keep every node in
+    // every iteration (mirrors algo/Hits semantics, hits.rs:51-160).
+    "g_hits" ->
+      s"""WITH RECURSIVE $sqlGraph,
+         |transfer AS (
+         |  SELECT src AS u, dst AS v, 'h' AS kind, 1.0 AS w FROM edges
+         |  UNION ALL SELECT dst, src, 'a', 1.0 FROM edges
+         |  UNION ALL SELECT id, id, 'h', 0.0 FROM nodes
+         |  UNION ALL SELECT id, id, 'a', 0.0 FROM nodes
+         |),
+         |hits(iter, id, hub, auth) AS (
+         |  SELECT 0, id, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE) FROM nodes
+         |  UNION ALL
+         |  SELECT iter, id,
+         |    CASE WHEN sum(ra) OVER () = 0 THEN 0 ELSE ra / sum(ra) OVER () END,
+         |    CASE WHEN sum(rh) OVER () = 0 THEN 0 ELSE rh / sum(rh) OVER () END
+         |  FROM (
+         |    SELECT p.iter + 1 AS iter, t.v AS id,
+         |      sum(CASE WHEN t.kind = 'a' THEN p.auth * t.w ELSE 0 END) AS ra,
+         |      sum(CASE WHEN t.kind = 'h' THEN p.hub * t.w ELSE 0 END) AS rh
+         |    FROM hits p JOIN transfer t ON t.u = p.id
+         |    WHERE p.iter < 20
+         |    GROUP BY 1, 2
+         |  ) s
+         |)
+         |SELECT id, round(hub, 6) AS hub, round(auth, 6) AS auth
+         |FROM hits WHERE iter = 20""".stripMargin,
+    // k-core peel with a fixed round budget: rem(r) = nodes whose degree
+    // among rem(r-1) survivors is >= k; once stable the set re-emits
+    // unchanged, so rem(cap) is the fixpoint provided cap >= #peel rounds
+    // (validated locally; cap 100 on a 1009-node graph).
+    "g_kcore3" ->
+      s"""WITH RECURSIVE $sqlGraph,
+         |rem(r, id) AS (
+         |  SELECT 0, id FROM nodes
+         |  UNION ALL
+         |  SELECT x.r + 1, x.a FROM (
+         |    SELECT p.r, u.a, count(*) AS d
+         |    FROM rem p JOIN und u ON u.b = p.id
+         |    WHERE p.r < 100
+         |    GROUP BY p.r, u.a
+         |  ) x
+         |  JOIN (SELECT r, id FROM rem) q ON q.r = x.r AND q.id = x.a
+         |  WHERE x.d >= 3
+         |)
+         |SELECT id FROM rem WHERE r = 100""".stripMargin,
+    // Synchronous red/black LPA, 8 sweeps = 16 colour phases; phase ph
+    // updates nodes with id % 2 = (ph-1) % 2 to the majority neighbour
+    // label, ties to the largest numeric GID (mirrors Lpa.runSync).
+    "g_lpa_sync" ->
+      s"""WITH RECURSIVE $sqlGraph,
+         |lpa(ph, id, label) AS (
+         |  SELECT 0, id, CAST(id AS VARCHAR) FROM nodes
+         |  UNION ALL
+         |  SELECT s.ph, s.id,
+         |    CASE WHEN s.id % 2 = (s.ph - 1) % 2 AND s.cand IS NOT NULL
+         |         THEN s.cand ELSE s.label END
+         |  FROM (
+         |    SELECT cur.ph + 1 AS ph, cur.id, cur.label, cnd.cand
+         |    FROM lpa cur
+         |    LEFT JOIN (
+         |      SELECT id, label AS cand FROM (
+         |        SELECT u.b AS id, p.label, count(*) AS c
+         |        FROM lpa p JOIN und u ON u.a = p.id
+         |        GROUP BY u.b, p.label
+         |      ) g
+         |      QUALIFY row_number() OVER (PARTITION BY id
+         |        ORDER BY c DESC, CAST(label AS BIGINT) DESC, label DESC) = 1
+         |    ) cnd ON cnd.id = cur.id
+         |    WHERE cur.ph < 16
+         |  ) s
+         |)
+         |SELECT id, label FROM lpa WHERE ph = 16""".stripMargin,
+    // Temporal bipartite projection: ordered event pairs at even-vid pivots
+    // within delta=50, counted per projected (src, dst).
+    "g_bipartite_projection" ->
+      s"""WITH $sqlGraph,
+         |visits AS (
+         |  SELECT dst AS pvt, src AS nbr, ts, seq FROM ev
+         |  UNION ALL
+         |  SELECT src AS pvt, dst AS nbr, ts, seq FROM ev
+         |),
+         |pv AS (SELECT * FROM visits WHERE pvt % 2 = 0)
+         |SELECT a.nbr AS src, b.nbr AS dst, CAST(count(*) AS BIGINT) AS n_events
+         |FROM pv a JOIN pv b ON a.pvt = b.pvt
+         |  AND (a.ts < b.ts OR (a.ts = b.ts AND a.seq < b.seq))
+         |  AND b.ts - a.ts <= 50
+         |GROUP BY 1, 2""".stripMargin,
+    // WCC component sizes of the aux-dumped tiny crawl (component = min vid).
+    "crawl_wcc_sizes" ->
+      s"""WITH RECURSIVE ${Queries.crawlSqlGraph},
+         |reach(id, c) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT u.b, r.c FROM reach r JOIN und u ON u.a = r.id
+         |),
+         |comp AS (SELECT id, min(c) AS component FROM reach GROUP BY id)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM comp GROUP BY component""".stripMargin,
+    // Tumbling 30 s activity windows over the aux-dumped crawl events
+    // (window width = step, epoch-aligned like Spark's window()).
+    "s_rolling_activity" ->
+      s"""WITH ${Queries.crawlSqlGraph}
+         |SELECT CAST(ts // 30000 * 30000 AS BIGINT) AS window_start,
+         |  CAST(ts // 30000 * 30000 + 30000 AS BIGINT) AS window_end,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT src) AS BIGINT) AS n_active_src
+         |FROM cedges GROUP BY 1, 2""".stripMargin,
 
     "t_minhash" ->
       """WITH sh AS (

@@ -2,8 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Also dumps the
+  * tiny-crawl graph tables (AuxDir) so crawl_* oracles can recompute over
+  * the same edge/node tables via read_parquet(). */
 object Verify {
+
+  /** Fixed absolute location the oracle SQL references with read_parquet —
+    * the DuckDB side has no table registry for non-sfDir tables. */
+  val AuxDir = "/root/repo/target/graft_aux"
+
+  def dumpAux(spark: SparkSession): Unit = {
+    val g = Queries.crawlGraphCache.getOrElseUpdate(spark,
+      graft.graph.LinkGraph.fromPages(graft.io.Corpus.tiny(spark).toDF()).cache())
+    g.edges.coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/crawl_edges.parquet")
+    g.nodes.coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/crawl_nodes.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,6 +31,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    var nFailed = 0
+    dumpAux(spark)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +42,7 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       } catch { case e: Throwable =>
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -42,8 +59,13 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (nFailed > 0) {
+      System.err.println(s"[verify] $nFailed queries FAILED")
+      sys.exit(1)
+    }
   }
 }

@@ -80,6 +80,81 @@ object CsrSuperstep {
     score
   }
 
+  /** HITS (hits.rs:51-160) over a forward CSR (in-neighbours per dst,
+    * gathers hub→recv_hub) and a reversed CSR (out-neighbours per src,
+    * gathers auth→recv_auth). Both gathers run in the same superstep with
+    * one broadcast each; tol = 0 disables early stopping. Returns
+    * (hub, auth) dense arrays. */
+  def hits(fwd: CsrGraph, rev: CsrGraph, iterCount: Int, tol: Double,
+           ctx: RunContext = RunContext.none): (Array[Double], Array[Double]) = {
+    val sc = fwd.blocks.sparkContext
+    val n = fwd.n
+    val present = fwd.present
+    var hub = new Array[Double](n)
+    var auth = new Array[Double](n)
+    var v = 0
+    while (v < n) { if (present(v)) { hub(v) = 1.0; auth(v) = 1.0 }; v += 1 }
+
+    def gather(csr: CsrGraph, state: Array[Double]): Array[Double] = {
+      val bc = sc.broadcast(state)
+      val segments = csr.blocks.map { b =>
+        val s = bc.value
+        val out = new Array[Double](b.hi - b.lo)
+        var i = 0
+        while (i < out.length) {
+          var acc = 0.0
+          var k = b.offsets(i)
+          val end = b.offsets(i + 1)
+          while (k < end) { acc += s(b.srcs(k)); k += 1 }
+          out(i) = acc
+          i += 1
+        }
+        (b.lo, out)
+      }.collect()
+      bc.destroy()
+      val res = new Array[Double](n)
+      for ((lo, seg) <- segments) System.arraycopy(seg, 0, res, lo, seg.length)
+      res
+    }
+
+    var step = 0
+    var done = false
+    while (!done && step < iterCount) {
+      step += 1
+      val t0 = System.nanoTime()
+      val recvHub = gather(fwd, hub)   // per dst: Σ hub(in-nbr)
+      val recvAuth = gather(rev, auth) // per src: Σ auth(out-nbr)
+      var totH = 0.0
+      var totA = 0.0
+      var i = 0
+      while (i < n) {
+        if (present(i)) { totH += recvHub(i); totA += recvAuth(i) }
+        i += 1
+      }
+      var dH = 0.0
+      var dA = 0.0
+      val newHub = new Array[Double](n)
+      val newAuth = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        if (present(i)) {
+          newHub(i) = if (totA == 0.0) 0.0 else recvAuth(i) / totA
+          newAuth(i) = if (totH == 0.0) 0.0 else recvHub(i) / totH
+          val ddH = math.abs(newHub(i) - hub(i))
+          val ddA = math.abs(newAuth(i) - auth(i))
+          if (ddH > dH) dH = ddH
+          if (ddA > dA) dA = ddA
+        }
+        i += 1
+      }
+      hub = newHub; auth = newAuth
+      done = tol > 0 && dH <= tol && dA <= tol
+      ctx.record(StepStat("hits-csr", step, 2 * fwd.edgeCount, 2 * fwd.edgeCount,
+        math.max(dH, dA), (System.nanoTime() - t0) / 1e6))
+    }
+    (hub, auth)
+  }
+
   /** Min-label propagation (connected_components.rs:34-93) over an
     * undirected CSR; returns the dense label array (absent ids = -1). */
   def wcc(csr: CsrGraph, iterCount: Long = Long.MaxValue,

@@ -22,21 +22,48 @@ object Dedup {
     docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc"))
 
-  /** MinHash signatures over char-`shingleN`-gram shingles:
-    * (id, seed, minhash) with seeds 0..nHashes-1. */
-  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        nHashes: Int = 16, shingleN: Int = 5): DataFrame = {
-    val spark = docs.sparkSession
+  /** Wide MinHash signatures over char-`shingleN`-gram shingles: one row
+    * per doc with columns mh0..mh{nHashes-1}. ALL hashes compute in a
+    * single projection + one groupBy — the scatter is O(shingles), not
+    * O(shingles × nHashes) (the seed-crossJoin formulation inflates the
+    * shuffle nHashes-fold). */
+  def minhashWide(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                  nHashes: Int = 16, shingleN: Int = 5): DataFrame = {
     val shingles = TextOps.charShingles(docs, idCol, textCol, shingleN)
-    val seeds = spark.range(nHashes).select(col("id").cast("int").as("seed"))
-    shingles.crossJoin(seeds)
-      .select(col(idCol), col("seed"),
-        TextOps.md5u32(concat(col("shingle"), lit(":"), col("seed"))).as("h"))
-      .groupBy(col(idCol), col("seed")).agg(min(col("h")).as("minhash"))
+    val aggs = (0 until nHashes).map { s =>
+      min(TextOps.md5u32(concat(col("shingle"), lit(s":$s")))).as(s"mh$s")
+    }
+    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band buckets over a minhash signature table:
-    * (id, band, bucket) with `bands` bands of nHashes/bands rows. */
+  /** MinHash signatures in long form: (id, seed, minhash) with seeds
+    * 0..nHashes-1 — a narrow explode over the wide form (same hashes). */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                        nHashes: Int = 16, shingleN: Int = 5): DataFrame = {
+    val wide = minhashWide(docs, idCol, textCol, nHashes, shingleN)
+    val entries = (0 until nHashes).map { s =>
+      struct(lit(s).cast("int").as("seed"), col(s"mh$s").as("minhash"))
+    }
+    wide.select(col(idCol), explode(array(entries: _*)).as("e"))
+      .select(col(idCol), col("e.seed").as("seed"), col("e.minhash").as("minhash"))
+  }
+
+  /** LSH band buckets from the wide signature form: (id, band, bucket),
+    * `bands` bands of nHashes/bands rows — a pure projection (no shuffle).
+    * Bucket id = md5 of the lexicographically sorted "seed:minhash"
+    * entries, comma-joined (byte-identical to the long-form definition). */
+  def lshBucketsWide(wide: DataFrame, idCol: String = "doc_id",
+                     bands: Int = 4, nHashes: Int = 16): DataFrame = {
+    val rows = nHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val entries = (b * rows until (b + 1) * rows)
+        .map(s => concat_ws(":", lit(s), col(s"mh$s")))
+      md5(concat_ws(",", sort_array(array(entries: _*))).cast("binary"))
+    }
+    wide.select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** LSH band buckets over a long-form minhash signature table. */
   def lshBuckets(signatures: DataFrame, idCol: String = "doc_id",
                  bands: Int = 4, nHashes: Int = 16): DataFrame = {
     val rows = nHashes / bands
@@ -49,10 +76,26 @@ object Dedup {
         .as("bucket"))
   }
 
-  /** Candidate near-duplicate pairs: ids sharing any band bucket (a < b). */
-  def lshCandidates(buckets: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
-    val r = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
+  /** Candidate near-duplicate pairs: ids sharing any band bucket (a < b).
+    *
+    * `maxBucketSize` is the web-scale guard: a hot bucket of size b (every
+    * boilerplate page hashing identically) contributes O(b²) pairs; buckets
+    * larger than the cap are dropped (members that are genuine near-dups
+    * almost always co-occur in another, smaller band bucket — standard
+    * MinHash-LSH practice). 0 = no cap (the oracle-exact default). */
+  def lshCandidates(buckets: DataFrame, idCol: String = "doc_id",
+                    maxBucketSize: Long = 0L): DataFrame = {
+    val b =
+      if (maxBucketSize <= 0L) buckets
+      else {
+        val sizes = buckets.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucketSize)
+        buckets.join(sizes.select(col("band"), col("bucket")), Seq("band", "bucket"),
+          "left_semi")
+      }
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("b"))
     l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
@@ -78,9 +121,10 @@ object Dedup {
     * Jaccard over char shingles. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.7,
                       idCol: String = "doc_id", textCol: String = "text",
-                      nHashes: Int = 16, bands: Int = 4, shingleN: Int = 5): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, nHashes, shingleN)
-    val cands = lshCandidates(lshBuckets(sig, idCol, bands, nHashes), idCol)
+                      nHashes: Int = 16, bands: Int = 4, shingleN: Int = 5,
+                      maxBucketSize: Long = 0L): DataFrame = {
+    val wide = minhashWide(docs, idCol, textCol, nHashes, shingleN)
+    val cands = lshCandidates(lshBucketsWide(wide, idCol, bands, nHashes), idCol, maxBucketSize)
     val shingles = TextOps.charShingles(docs, idCol, textCol, shingleN)
     jaccardVerify(cands, shingles, idCol).filter(col("jaccard") >= threshold)
   }

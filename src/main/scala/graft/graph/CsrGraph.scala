@@ -105,6 +105,25 @@ object CsrGraph {
     new CsrGraph(n, presentVids.length, present, blocks, m)
   }
 
+  /** Reversed gather CSR: out-neighbours per src (= in-neighbours of the
+    * reversed graph). Used by gathers that pull along out-edges (HITS
+    * hub-from-auth). */
+  def reversedFromLinkGraph(g: LinkGraph, parts: Int): CsrGraph = {
+    val spark = g.spark
+    import spark.implicits._
+    val maxVid = g.nodes.agg(max("vid")).head().getLong(0)
+    require(maxVid < Int.MaxValue)
+    val n = (maxVid + 1).toInt
+    val presentVids = g.nodes.select("vid").as[Long].collect()
+    val present = new Array[Boolean](n)
+    presentVids.foreach(v => present(v.toInt) = true)
+    val pairs = g.dedupEdges.select($"src".cast("int"), $"dst".cast("int"))
+      .as[(Int, Int)].rdd
+    val blocks = pack(pairs, n, parts)
+    val m = blocks.map(_.srcs.length.toLong).fold(0L)(_ + _)
+    new CsrGraph(n, presentVids.length, present, blocks, m)
+  }
+
   /** Undirected gather CSR (distinct BOTH-neighbours per vertex). */
   def undirectedFromLinkGraph(g: LinkGraph, parts: Int): CsrGraph = {
     val spark = g.spark

@@ -110,18 +110,37 @@ class LinkGraph(
 
   // ---- core accessors ----------------------------------------------------
 
+  // The collapsed adjacencies below are derived by a full distinct (a
+  // shuffle); nearly every structural algorithm starts from them, so they
+  // are computed once per graph instance and kept persisted until
+  // unpersist() — the analogue of the reference's materialised per-node
+  // adjacency lists (node_store.rs:176-199).
+  @transient private var dedupCache: DataFrame = _
+  @transient private var undirectedCache: DataFrame = _
+
   /** Distinct directed (src, dst) pairs — the adjacency after multi-edge
-    * collapse (node_store.rs:176-199: one adjacency entry per neighbour). */
-  def dedupEdges: DataFrame = edges.select("src", "dst").distinct()
+    * collapse (node_store.rs:176-199: one adjacency entry per neighbour).
+    * Lazily persisted; released by unpersist(). */
+  def dedupEdges: DataFrame = synchronized {
+    if (dedupCache == null)
+      dedupCache = edges.select("src", "dst").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    dedupCache
+  }
 
   /** Distinct undirected neighbour pairs, both orientations, one row per
     * (v, neighbour); a self-loop yields a single (v, v) row — matching
-    * `neighbours()` BOTH semantics (node_store.rs:252-299). */
-  def undirectedPairs: DataFrame = {
-    val d = edges.select("src", "dst")
-    d.select(col("src").as("a"), col("dst").as("b"))
-      .union(d.select(col("dst").as("a"), col("src").as("b")))
-      .distinct()
+    * `neighbours()` BOTH semantics (node_store.rs:252-299). Lazily
+    * persisted; released by unpersist(). */
+  def undirectedPairs: DataFrame = synchronized {
+    if (undirectedCache == null) {
+      val d = edges.select("src", "dst")
+      undirectedCache = d.select(col("src").as("a"), col("dst").as("b"))
+        .union(d.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    undirectedCache
   }
 
   /** Distinct out-neighbour count per node; nodes with none get 0.
@@ -153,7 +172,11 @@ class LinkGraph(
     this
   }
 
-  def unpersist(): Unit = { edges.unpersist(); nodes.unpersist() }
+  def unpersist(): Unit = synchronized {
+    edges.unpersist(); nodes.unpersist()
+    if (dedupCache != null) { dedupCache.unpersist(); dedupCache = null }
+    if (undirectedCache != null) { undirectedCache.unpersist(); undirectedCache = null }
+  }
 }
 
 object LinkGraph {

@@ -63,13 +63,20 @@ object StreamIngest {
 
   /** Batch rolling windows over an edge-event table: one row per
     * (window_start, window_end) with edge/node activity counts —
-    * `g.rolling(w, s)` as a single windowed aggregation. */
-  def rollingActivity(edges: DataFrame, windowMs: Long, stepMs: Long): DataFrame = {
+    * `g.rolling(w, s)` as a single windowed aggregation. Exact distinct:
+    * the per-window count-distinct partial-aggregates map-side (Expand +
+    * two-phase HashAggregate), so it scales like any groupBy; pass
+    * `approxRsd > 0` to trade exactness for one HLL pass at extreme
+    * cardinalities. */
+  def rollingActivity(edges: DataFrame, windowMs: Long, stepMs: Long,
+                      approxRsd: Double = 0.0): DataFrame = {
     val w = window(timestamp_millis(col("ts")),
       s"$windowMs milliseconds", s"$stepMs milliseconds")
+    val distinctSrc =
+      if (approxRsd > 0) approx_count_distinct(col("src"), approxRsd)
+      else count_distinct(col("src"))
     edges.groupBy(w.as("w"))
-      .agg(count(lit(1)).as("n_events"),
-        approx_count_distinct(col("src"), 0.01).as("n_active_src"))
+      .agg(count(lit(1)).as("n_events"), distinctSrc.as("n_active_src"))
       .select(unix_millis(col("w.start")).as("window_start"),
         unix_millis(col("w.end")).as("window_end"),
         col("n_events"), col("n_active_src"))

@@ -106,7 +106,7 @@ object Queries2 {
     }),
     "d_simhash" -> ((s, d) => Dedup.simhash(tbl(s, d, "documents"))),
     "d_norm_dup" -> ((s, d) => Dedup.normalizedGroups(tbl(s, d, "documents"))),
-    "e_ann_lsh" -> ((s, d) => { // rows-only: FP-order-sensitive buckets
+    "e_ann_lsh" -> ((s, d) => { // deterministic buckets (sequential dots) + Hamming-1 probes
       val e = tbl(s, d, "embeddings")
       import s.implicits._
       Ann.annTopK(e, s.range(10).toDF("id"), k = 5, planes = 8)
@@ -303,6 +303,44 @@ object Queries2 {
          |  CAST(count(DISTINCT src) AS BIGINT) AS n_active_src
          |FROM cedges GROUP BY 1, 2""".stripMargin,
 
+    // Hyperplane-LSH ANN: md5-derived plane weights, per-vector 8-bit sign
+    // bucket via sequential list dot products (index order = Spark's
+    // codegen DotProduct), query side probes the bucket + its 8 Hamming-1
+    // neighbours, exact cosine rank within candidates (mirrors sim.Ann).
+    "e_ann_lsh" ->
+      """WITH pw AS (
+        |  SELECT p, d,
+        |    CAST(('0x' || substr(md5('plane:' || p || ':' || d), 1, 8)) AS BIGINT)
+        |      / 2147483648.0 - 1.0 AS w
+        |  FROM generate_series(0, 7) tp(p), generate_series(0, 63) td(d)
+        |),
+        |pl AS (SELECT p, list(w ORDER BY d) AS pv FROM pw GROUP BY p),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bk AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM v, pl GROUP BY vec_id
+        |),
+        |probes AS (
+        |  SELECT t.query_id, t.qv,
+        |    CASE WHEN gj.j = -1 THEN t.bucket ELSE xor(t.bucket, CAST(1 AS BIGINT) << gj.j) END AS bucket
+        |  FROM (SELECT b.vec_id AS query_id, v.v AS qv, b.bucket
+        |        FROM bk b JOIN v ON v.vec_id = b.vec_id WHERE b.vec_id < 10) t,
+        |       generate_series(-1, 7) gj(j)
+        |),
+        |c AS (SELECT b.vec_id AS neighbor_id, v.v AS cv, b.bucket
+        |      FROM bk b JOIN v ON v.vec_id = b.vec_id),
+        |sims AS (
+        |  SELECT DISTINCT p.query_id, c.neighbor_id,
+        |    round(list_dot_product(p.qv, c.cv) /
+        |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4) AS sim
+        |  FROM probes p JOIN c ON c.bucket = p.bucket
+        |  WHERE p.query_id <> c.neighbor_id
+        |),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM sims)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5""".stripMargin,
     "t_minhash" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(g AS INT), 5) AS shingle FROM (

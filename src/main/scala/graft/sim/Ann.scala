@@ -48,46 +48,84 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** Deterministic hyperplane weight for (plane, dim): md5-derived value
-    * in [-1, 1). */
-  private def planeWeight(plane: Column, dim: Column): Column =
-    graft.text.TextOps.md5u32(concat(lit("plane:"), plane, lit(":"), dim)) /
-      lit((1L << 31).toDouble) - 1.0
-
-  /** LSH bucket per vector: `planes`-bit signature of hyperplane signs.
-    * Returns (id, bucket). */
-  def lshBuckets(emb: DataFrame, planes: Int = 12,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    graft.functions.VectorFunctions.register(emb.sparkSession)
-    val spark = emb.sparkSession
-    val dims = emb.select(posexplode(toD(col(vecCol)))).select(col("pos").as("dim"), lit(1))
-      .agg(max("dim")).head().getInt(0) + 1
-    val grid = spark.range(planes).select(col("id").cast("int").as("plane"))
-      .crossJoin(spark.range(dims).select(col("id").cast("int").as("dim")))
-      .select(col("plane"), col("dim"), planeWeight(col("plane"), col("dim")).as("w"))
-    val comps = emb.select(col(idCol), posexplode(toD(col(vecCol))).as(Seq("dim", "x")))
-      .join(broadcast(grid), Seq("dim"))
-      .groupBy(col(idCol), col("plane")).agg(sum(col("x") * col("w")).as("proj"))
-    comps
-      .groupBy(col(idCol))
-      .agg(sum(when(col("proj") >= 0, expr("shiftleft(1L, plane)")).otherwise(0L))
-        .as("bucket"))
+  /** Deterministic hyperplane weight for (plane, dim): first 8 md5 hex
+    * digits of "plane:p:d" as u32, scaled to [-1, 1) — the portable hash
+    * shared with the DuckDB oracle (TextOps.md5u32). */
+  def planeWeight(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane:$plane:$dim".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 31).toDouble - 1.0
   }
 
-  /** Approximate top-k: exact cosine ranking restricted to same-bucket
-    * candidates. Returns (query_id, rank, neighbor_id, sim). */
+  private def vecDims(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol))).head().getInt(0)
+
+  /** LSH bucket per vector: `planes`-bit signature of hyperplane signs.
+    * Returns (id, bucket).
+    *
+    * Each projection is a codegen'd sequential dot product against a
+    * literal plane vector — a pure per-row projection (NO shuffle, unlike
+    * an explode+groupBy formulation) whose float summation order is fixed
+    * (index order), so bucket assignment is deterministic and
+    * oracle-reproducible. */
+  def lshBuckets(emb: DataFrame, planes: Int = 12,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshTableBuckets(emb, planes, 1, idCol, vecCol).drop("table")
+
+  /** Multi-table LSH buckets: `tables` independent `planes`-bit signatures
+    * per vector, one row per (id, table, bucket). Plane (t, p) uses the
+    * global plane index t·planes + p, so tables = 1 reproduces the
+    * single-table weights exactly. Still a pure projection + one narrow
+    * explode — no shuffle. */
+  def lshTableBuckets(emb: DataFrame, planes: Int, tables: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val dims = vecDims(emb, vecCol)
+    val bucketCols = (0 until tables).map { t =>
+      (0 until planes).map { p =>
+        val pv = array((0 until dims).map(d => lit(planeWeight(t * planes + p, d))): _*)
+        when(dot(toD(col(vecCol)), pv) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    emb.select(col(idCol), posexplode(array(bucketCols: _*)).as(Seq("table", "bucket")))
+  }
+
+  /** Approximate top-k: exact cosine ranking restricted to bucket-matched
+    * candidates. Two recall levers, both with bounded fan-out
+    * (tables · (1 + planes·multiProbe) probe buckets per query):
+    *
+    *  - `multiProbe` — Hamming radius probed per table (1 adds the
+    *    single-bit-flip buckets);
+    *  - `tables` — independent hash tables (the standard sign-LSH recall
+    *    amplification: hit prob 1-(1-p^planes)^tables for per-plane
+    *    agreement p). Fewer planes + more tables raises recall at the cost
+    *    of candidate volume; on clustered real embeddings (near-dup sim
+    *    ≥ 0.9 → p ≈ 0.86) 8 planes × 8 tables prunes ~100× at recall
+    *    ≈ 0.99, while on near-isotropic vectors (p → 0.5) any LSH
+    *    degrades toward a scan — tune to the corpus similarity profile
+    *    (see PipelineOpsSpec recall assertions).
+    *
+    * Returns (query_id, rank, neighbor_id, sim). */
   def annTopK(emb: DataFrame, queryIds: DataFrame, k: Int, planes: Int = 12,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              roundTo: Int = 4): DataFrame = {
+              roundTo: Int = 4, multiProbe: Int = 1, tables: Int = 1): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
-    val buckets = lshBuckets(emb, planes, idCol, vecCol)
+    val buckets = lshTableBuckets(emb, planes, tables, idCol, vecCol)
     val v = emb.select(col(idCol), toD(col(vecCol)).as("v")).join(buckets, Seq(idCol))
+    val probeCols: Seq[Column] = col("bucket") +: (
+      if (multiProbe >= 1) (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+      else Seq.empty)
     val q = v.join(queryIds.withColumnRenamed(queryIds.columns.head, idCol), Seq(idCol))
-      .select(col(idCol).as("query_id"), col("v").as("qv"), col("bucket"))
-    val c = v.select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("bucket"))
-    val sims = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("table"),
+        explode(array(probeCols: _*)).as("bucket"))
+    val c = v.select(col(idCol).as("neighbor_id"), col("v").as("cv"),
+      col("table"), col("bucket"))
+    val sims = q.join(c, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
+      .distinct() // a pair can meet through several tables / probe buckets
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
     sims.withColumn("rank", row_number().over(w).cast("long"))

@@ -95,6 +95,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(approx.intersect(exact).size * 2 >= exact.size)
   }
 
+  test("multi-table LSH ANN: recall >= 0.9 vs brute force (sf0.001 embeddings)") {
+    // These synthetic embeddings are near-isotropic (top-5 cosine ~ 0.3,
+    // per-plane agreement p ~ 0.6) — the hard case for LSH. 4 planes x 24
+    // tables gives expected recall 1-(1-p^4)^24 ~ 0.97 while still
+    // skipping ~20% of candidates even here; on clustered real embeddings the same
+    // structure prunes ~100x (see Ann.annTopK doc).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = spark.range(10).toDF("id")
+    val exact = Ann.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Ann.annTopK(emb, queries, 5, planes = 4, multiProbe = 0, tables = 24)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${approx.intersect(exact).size}/${exact.size})")
+    assert(approx.size <= 50)
+  }
+
+  test("LSH candidate bucket-size cap drops hot buckets, keeps the rest") {
+    val hot = (0L until 40L).map(i => (i, "identical boilerplate page text body"))
+    val rest = Seq((100L, "unique text one of a kind alpha"), (101L, "unique text one of a kind alpha"))
+    val d = (hot ++ rest).toDF("doc_id", "text")
+    val wide = Dedup.minhashWide(d, nHashes = 8, shingleN = 5)
+    val buckets = Dedup.lshBucketsWide(wide, bands = 4, nHashes = 8)
+    val uncapped = Dedup.lshCandidates(buckets).count()
+    val capped = Dedup.lshCandidates(buckets, maxBucketSize = 10L).collect()
+    assert(uncapped >= 40L * 39 / 2)                        // hot bucket blows up quadratically
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)))
+  }
+
   test("media: stub decode batch shape, frame sampling, resize plan") {
     val media = Media.syntheticMedia(spark, 30L)
     val feats = Media.extractFeatures(media)

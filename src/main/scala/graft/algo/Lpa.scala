@@ -89,9 +89,39 @@ object Lpa {
     spark.createDataset(rows).toDF("vid", "name", "label")
   }
 
-  /** Scalable deterministic synchronous LPA (red/black by vid parity). */
-  def runSync(g: LinkGraph, maxSweeps: Int = 100): DataFrame =
-    graft.bsp.IterativeConf.withStablePartitioning(g.spark) { runSync0(g, maxSweeps) }
+  val InMemMaxIds: Long = 32L * 1000 * 1000
+
+  /** Scalable deterministic synchronous LPA (red/black by vid parity).
+    * Numeric-GID graphs below the in-memory id bound take the CSR fast
+    * path (identical labels; one broadcast gather per colour phase);
+    * string-GID or huge graphs run the shuffle-based supersteps. */
+  def runSync(g: LinkGraph, maxSweeps: Int = 100, mode: String = "auto"): DataFrame = {
+    val maxVid = g.nodes.agg(max("vid")).head() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    if (maxVid < 0)
+      return g.nodes.select(col("vid"), col("name"), col("name").as("label")).limit(0)
+    val useCsr = mode == "csr" ||
+      (mode == "auto" && g.namesAreNumeric &&
+        maxVid < math.min(InMemMaxIds, Int.MaxValue.toLong))
+    if (useCsr) runSyncCsr(g, maxSweeps)
+    else graft.bsp.IterativeConf.withStablePartitioning(g.spark) { runSync0(g, maxSweeps) }
+  }
+
+  private def runSyncCsr(g: LinkGraph, maxSweeps: Int): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val csr = graft.graph.CsrGraph.undirectedFromLinkGraph(g, p)
+    val nodes = g.nodes.select($"vid", $"name").as[(Long, String)].collect()
+    val nameVal = new Array[Long](csr.n)
+    nodes.foreach { case (v, nm) => nameVal(v.toInt) = java.lang.Long.parseUnsignedLong(nm) }
+    val labels = graft.bsp.CsrSuperstep.lpaSync(csr, nameVal, maxSweeps)
+    csr.unpersist()
+    val rows = nodes.map { case (v, nm) => (v, nm, java.lang.Long.toUnsignedString(labels(v.toInt))) }
+    spark.createDataset(rows.toSeq).toDF("vid", "name", "label")
+  }
 
   private def runSync0(g: LinkGraph, maxSweeps: Int): DataFrame = {
     val spark = g.spark

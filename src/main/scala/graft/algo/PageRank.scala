@@ -59,9 +59,9 @@ object PageRank {
     val score = graft.bsp.CsrSuperstep.pageRank(
       csr, outDeg, cfg.iterCount, cfg.tol, cfg.damping, cfg.useL2Norm, ctx)
     csr.unpersist()
-    val bc = spark.sparkContext.broadcast(score)
-    val look = udf((v: Long) => bc.value(v.toInt))
-    g.nodes.select($"vid", $"name", look($"vid").as("score"))
+    val rows = g.nodes.select($"vid", $"name").as[(Long, String)].collect()
+      .map { case (v, nm) => (v, nm, score(v.toInt)) }
+    spark.createDataset(rows.toSeq).toDF("vid", "name", "score")
   }
 
   /** Shuffle-based supersteps — the arbitrary-scale path. */

@@ -48,12 +48,13 @@ object Wcc {
     val csr = graft.graph.CsrGraph.undirectedFromLinkGraph(g, p)
     val labels = graft.bsp.CsrSuperstep.wcc(csr, iterCount, ctx)
     csr.unpersist()
-    val bc = spark.sparkContext.broadcast(labels)
-    val look = udf((v: Long) => bc.value(v.toInt).toLong)
-    g.nodes.select($"vid", $"name", look($"vid").as("component_vid"))
-      .join(g.nodes.select($"vid".as("component_vid"), $"name".as("component")),
-        Seq("component_vid"))
-      .select($"vid", $"name", $"component_vid", $"component")
+    val nodes = g.nodes.select($"vid", $"name").as[(Long, String)].collect()
+    val names = nodes.toMap
+    val rows = nodes.map { case (v, nm) =>
+      val c = labels(v.toInt).toLong
+      (v, nm, c, names(c))
+    }
+    spark.createDataset(rows.toSeq).toDF("vid", "name", "component_vid", "component")
   }
 
   private def runDf(g: LinkGraph, iterCount: Long, ctx: RunContext): DataFrame =

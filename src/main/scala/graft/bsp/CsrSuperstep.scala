@@ -155,6 +155,79 @@ object CsrSuperstep {
     (hub, auth)
   }
 
+  /** Synchronous red/black LPA (label_propagation.rs:21-76 semantics, the
+    * deterministic two-colour schedule of algo.Lpa.runSync) over an
+    * undirected CSR, for graphs with numeric GIDs: labels are GID values,
+    * update = majority neighbour label, ties to the largest GID. Per colour
+    * phase: one broadcast + one gather job. Returns the dense label array
+    * (absent ids = Long.MinValue). */
+  def lpaSync(csr: CsrGraph, nameVal: Array[Long], maxSweeps: Int,
+              ctx: RunContext = RunContext.none): Array[Long] = {
+    val sc = csr.blocks.sparkContext
+    val n = csr.n
+    val present = csr.present
+    var labels = new Array[Long](n)
+    var v = 0
+    while (v < n) { labels(v) = if (present(v)) nameVal(v) else Long.MinValue; v += 1 }
+
+    var sweep = 0
+    var done = false
+    while (!done && sweep < maxSweeps) {
+      var changedTotal = 0L
+      var color = 0
+      while (color <= 1) {
+        val t0 = System.nanoTime()
+        val bc = sc.broadcast(labels)
+        val segments = csr.blocks.map { b =>
+          val l = bc.value
+          val seg = new Array[Long](b.hi - b.lo)
+          var changed = 0L
+          val counts = new scala.collection.mutable.LongMap[Long]()
+          var i = 0
+          while (i < seg.length) {
+            val w = b.lo + i
+            seg(i) = if (w < l.length) l(w) else Long.MinValue
+            if (l(w) != Long.MinValue && (w & 1) == color) {
+              counts.clear()
+              var k = b.offsets(i)
+              val end = b.offsets(i + 1)
+              while (k < end) {
+                val c = l(b.srcs(k))
+                counts(c) = counts.getOrElse(c, 0L) + 1L
+                k += 1
+              }
+              if (counts.nonEmpty) {
+                var bestLabel = Long.MinValue
+                var bestCount = -1L
+                counts.foreachEntry { (lab, c) =>
+                  if (c > bestCount || (c == bestCount && lab > bestLabel)) {
+                    bestLabel = lab; bestCount = c
+                  }
+                }
+                if (bestLabel != seg(i)) { seg(i) = bestLabel; changed += 1 }
+              }
+            }
+            i += 1
+          }
+          (b.lo, seg, changed)
+        }.collect()
+        bc.destroy()
+        val next = labels.clone()
+        for ((lo, seg, ch) <- segments) {
+          System.arraycopy(seg, 0, next, lo, seg.length)
+          changedTotal += ch
+        }
+        labels = next
+        ctx.record(StepStat("lpa-csr", 2 * sweep + color, csr.edgeCount, csr.edgeCount,
+          changedTotal.toDouble, (System.nanoTime() - t0) / 1e6))
+        color += 1
+      }
+      done = changedTotal == 0
+      sweep += 1
+    }
+    labels
+  }
+
   /** Min-label propagation (connected_components.rs:34-93) over an
     * undirected CSR; returns the dense label array (absent ids = -1). */
   def wcc(csr: CsrGraph, iterCount: Long = Long.MaxValue,

@@ -42,6 +42,18 @@ class LpaSpec extends AnyFunSuite {
     assert(communities == Set(Set("R1", "R2", "R3"), Set("G", "B1", "B2", "B3", "B4", "B5")))
   }
 
+  test("sync mode: CSR fast path == DF shuffle path on a numeric-GID graph") {
+    val edges = Seq(
+      (0L, 1L, 1L), (1L, 2L, 2L), (2L, 0L, 3L), (3L, 4L, 4L), (4L, 5L, 5L),
+      (5L, 3L, 6L), (2L, 3L, 7L), (6L, 0L, 8L), (7L, 4L, 9L), (8L, 8L, 10L))
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    val csr = Lpa.runSync(g, maxSweeps = 8, mode = "csr").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val df = Lpa.runSync(g, maxSweeps = 8, mode = "df").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(csr == df)
+  }
+
   test("sync mode: deterministic and produces connected communities") {
     val g = LinkGraph.fromEdgeList(spark, fixtureEdges)
     val r1 = Lpa.runSync(g).collect().map(r => r.getString(1) -> r.getString(2)).toMap

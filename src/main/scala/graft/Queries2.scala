@@ -89,6 +89,12 @@ object Queries2 {
       s.createDataset(counts.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
         .toDF("motif", "n")
     }),
+    "g_local_motifs" -> ((s, d) => { // rows-only: exact per-node fixture in sbt test
+      val g = graph(s, d)
+      graft.algo.TemporalMotifs.localCounts(g, delta = 32L)
+        .select(col("vid").as("id"), posexplode(col("counts")).as(Seq("motif", "n")))
+        .select(col("id"), col("motif").cast("long").as("motif"), col("n"))
+    }),
     "g_bipartite_projection" -> ((s, d) => {
       val g = graph(s, d)
       val pivots = g.nodes.filter(col("vid") % 2 === 0).select(col("vid"))

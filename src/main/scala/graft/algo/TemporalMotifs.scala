@@ -1,213 +1,38 @@
 package graft.algo
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.graph.LinkGraph
+import graft.algo.motifs.Counters
+import graft.algo.motifs.Counters.{IN, OUT}
 
 /** Delta-temporal 3-node motif census — Paranjape, Benson & Leskovec,
   * "Motifs in Temporal Networks" (WSDM 2017) — with the reference's exact
-  * counting semantics and 40-element output layout
-  * (raphtory/src/algorithms/motifs/global_temporal_three_node_motifs.rs:27-314,
-  * counter scheme three_node_motifs.rs; layout doc
-  * python/packages/algorithms.rs:405-449):
+  * output layout (raphtory/src/algorithms/motifs/
+  * global_temporal_three_node_motifs.rs:27-314 for the global census,
+  * local_temporal_three_node_motifs.rs:83-394 for the per-node variant;
+  * layout doc python/packages/algorithms.rs:405-449):
   *
   *   [0..23]  star motifs, classes PRE | MID | POST × directions
   *            III..OOO (two-node motifs subtracted out),
   *   [24..31] two-node motifs III..OOO (counted from both endpoints),
   *   [32..39] the 8 delta-temporal triangle motifs.
   *
-  * Spark shape: the per-node star/two-node counters run inside
-  * `groupByKey(node).mapGroups` over the node's incident event list (the
-  * counters are O(events) sliding-window algorithms from the paper); the
-  * per-triangle counter runs per triangle discovered by the degree-ordered
-  * wedge join, with the triangle's 6 directed event streams assembled by an
-  * unordered-pair join. Both stages are embarrassingly parallel.
+  * Counter algebra lives in motifs.Counters. Spark shape: star/two-node
+  * counters run inside `groupByKey(node).mapGroups` over each node's
+  * incident event list (O(events) sliding windows); triangle counters run
+  * per triangle discovered by a wedge join over the 2-core, with the
+  * triangle's 6 directed event streams assembled by an unordered-pair
+  * join. Both stages are embarrassingly parallel; nothing touches the
+  * driver but the 40-slot reduce (global) / per-node sum (local).
   */
 object TemporalMotifs {
 
-  private val IN = 0
-  private val OUT = 1
-  private val Dirs2d = Array((0, 0), (0, 1), (1, 0), (1, 1))
-  @inline private def m2(d1: Int, d2: Int): Int = 2 * d1 + d2
-  @inline private def m3(d1: Int, d2: Int, d3: Int): Int = 4 * d1 + 2 * d2 + d3
+  // ---- per-node star + two-node pass --------------------------------------
 
-  /** Sliding-window two-node motif counter (paper §3.2). Events: (dir, ts)
-    * in time order. */
-  private final class TwoNodeCounter {
-    private val c1 = new Array[Long](2)
-    private val c2 = new Array[Long](4)
-    val c3 = new Array[Long](8)
-
-    def execute(dirs: Array[Int], times: Array[Long], delta: Long): Unit = {
-      var start = 0
-      var j = 0
-      while (j < dirs.length) {
-        while (times(start) + delta < times(j)) {
-          val d = dirs(start)
-          c1(d) -= 1
-          c2(m2(d, IN)) -= c1(IN)
-          c2(m2(d, OUT)) -= c1(OUT)
-          start += 1
-        }
-        val dir = dirs(j)
-        var i = 0
-        while (i < 4) {
-          val (d1, d2) = Dirs2d(i)
-          c3(m3(d1, d2, dir)) += c2(m2(d1, d2))
-          i += 1
-        }
-        c2(m2(IN, dir)) += c1(IN)
-        c2(m2(OUT, dir)) += c1(OUT)
-        c1(dir) += 1
-        j += 1
-      }
-    }
-  }
-
-  /** Sliding-window star motif counter over a node's incident events
-    * (nb = dense neighbour index, dir, ts). */
-  private final class StarCounter(n: Int) {
-    private val preNodes = new Array[Long](2 * n)
-    private val postNodes = new Array[Long](2 * n)
-    private val preSum = new Array[Long](8)
-    private val midSum = new Array[Long](8)
-    private val postSum = new Array[Long](8)
-    val countPre = new Array[Long](8)
-    val countMid = new Array[Long](8)
-    val countPost = new Array[Long](8)
-
-    private def pushPre(nb: Int, dir: Int): Unit = {
-      preSum(m2(IN, dir)) += preNodes(IN * n + nb)
-      preSum(m2(OUT, dir)) += preNodes(OUT * n + nb)
-      preNodes(dir * n + nb) += 1
-    }
-    private def pushPost(nb: Int, dir: Int): Unit = {
-      postSum(m2(IN, dir)) += postNodes(IN * n + nb)
-      postSum(m2(OUT, dir)) += postNodes(OUT * n + nb)
-      postNodes(dir * n + nb) += 1
-    }
-    private def popPre(nb: Int, dir: Int): Unit = {
-      preNodes(dir * n + nb) -= 1
-      preSum(m2(dir, IN)) -= preNodes(IN * n + nb)
-      preSum(m2(dir, OUT)) -= preNodes(OUT * n + nb)
-    }
-    private def popPost(nb: Int, dir: Int): Unit = {
-      postNodes(dir * n + nb) -= 1
-      postSum(m2(dir, IN)) -= postNodes(IN * n + nb)
-      postSum(m2(dir, OUT)) -= postNodes(OUT * n + nb)
-    }
-    private def processCurrent(nb: Int, dir: Int): Unit = {
-      midSum(m2(IN, dir)) -= preNodes(IN * n + nb)
-      midSum(m2(OUT, dir)) -= preNodes(OUT * n + nb)
-      var i = 0
-      while (i < 4) {
-        val (d1, d2) = Dirs2d(i)
-        countPre(m3(d1, d2, dir)) += preSum(m2(d1, d2))
-        countPost(m3(dir, d1, d2)) += postSum(m2(d1, d2))
-        countMid(m3(d1, dir, d2)) += midSum(m2(d1, d2))
-        i += 1
-      }
-      midSum(m2(dir, IN)) += postNodes(IN * n + nb)
-      midSum(m2(dir, OUT)) += postNodes(OUT * n + nb)
-    }
-
-    def execute(nbs: Array[Int], dirs: Array[Int], times: Array[Long], delta: Long): Unit = {
-      val l = nbs.length
-      if (l < 3) return
-      var start = 0
-      var end = 0
-      var j = 0
-      while (j < l) {
-        while (start < l && times(start) + delta < times(j)) {
-          popPre(nbs(start), dirs(start)); start += 1
-        }
-        while (end < l && times(end) <= times(j) + delta) {
-          pushPost(nbs(end), dirs(end)); end += 1
-        }
-        popPost(nbs(j), dirs(j))
-        processCurrent(nbs(j), dirs(j))
-        pushPre(nbs(j), dirs(j))
-        j += 1
-      }
-    }
-
-    def counts24: Array[Long] = countPre ++ countMid ++ countPost
-  }
-
-  /** Sliding-window triangle motif counter over one triangle's 6 directed
-    * event streams; events encoded as (uvEdge, uorv, dir, ts) — u = middle
-    * id, v = smallest, the third node is the largest. */
-  private final class TriangleCounter {
-    // per-(dir, uorv) counts for the non-uv events (nb is always 0)
-    private val preNodes = new Array[Long](4)
-    private val postNodes = new Array[Long](4)
-    private val preSum = new Array[Long](8)
-    private val midSum = new Array[Long](8)
-    private val postSum = new Array[Long](8)
-    val finalCounts = new Array[Long](8)
-
-    def execute(uv: Array[Boolean], uorv: Array[Int], dirs: Array[Int],
-                times: Array[Long], delta: Long): Unit = {
-      val l = uv.length
-      if (l < 3) return
-
-      def popPre(i: Int): Unit = if (!uv(i)) {
-        val (w, d) = (uorv(i), dirs(i))
-        preNodes(m2(d, w)) -= 1
-        preSum(m3(w, d, IN)) -= preNodes(m2(IN, 1 - w))
-        preSum(m3(w, d, OUT)) -= preNodes(m2(OUT, 1 - w))
-      }
-      def popPost(i: Int): Unit = if (!uv(i)) {
-        val (w, d) = (uorv(i), dirs(i))
-        postNodes(m2(d, w)) -= 1
-        postSum(m3(w, d, IN)) -= postNodes(m2(IN, 1 - w))
-        postSum(m3(w, d, OUT)) -= postNodes(m2(OUT, 1 - w))
-      }
-      def pushPre(i: Int): Unit = if (!uv(i)) {
-        val (w, d) = (uorv(i), dirs(i))
-        preSum(m3(1 - w, IN, d)) += preNodes(m2(IN, 1 - w))
-        preSum(m3(1 - w, OUT, d)) += preNodes(m2(OUT, 1 - w))
-        preNodes(m2(d, w)) += 1
-      }
-      def pushPost(i: Int): Unit = if (!uv(i)) {
-        val (w, d) = (uorv(i), dirs(i))
-        postSum(m3(1 - w, IN, d)) += postNodes(m2(IN, 1 - w))
-        postSum(m3(1 - w, OUT, d)) += postNodes(m2(OUT, 1 - w))
-        postNodes(m2(d, w)) += 1
-      }
-      def processCurrent(i: Int): Unit = {
-        val (w, d) = (uorv(i), dirs(i))
-        if (!uv(i)) {
-          midSum(m3(1 - w, IN, d)) -= preNodes(m2(IN, 1 - w))
-          midSum(m3(1 - w, OUT, d)) -= preNodes(m2(OUT, 1 - w))
-          midSum(m3(w, d, IN)) += postNodes(m2(IN, 1 - w))
-          midSum(m3(w, d, OUT)) += postNodes(m2(OUT, 1 - w))
-        } else {
-          finalCounts(0) += midSum(m3(d, 0, 0)) + postSum(m3(d, 0, 1)) + preSum(m3(1 - d, 1, 1))
-          finalCounts(4) += midSum(m3(d, 1, 0)) + postSum(m3(1 - d, 0, 1)) + preSum(m3(1 - d, 0, 1))
-          finalCounts(2) += midSum(m3(1 - d, 0, 0)) + postSum(m3(d, 1, 1)) + preSum(m3(1 - d, 1, 0))
-          finalCounts(6) += midSum(m3(1 - d, 1, 0)) + postSum(m3(1 - d, 1, 1)) + preSum(m3(1 - d, 0, 0))
-          finalCounts(1) += midSum(m3(d, 0, 1)) + postSum(m3(d, 0, 0)) + preSum(m3(d, 1, 1))
-          finalCounts(5) += midSum(m3(d, 1, 1)) + postSum(m3(1 - d, 0, 0)) + preSum(m3(d, 0, 1))
-          finalCounts(3) += midSum(m3(1 - d, 0, 1)) + postSum(m3(d, 1, 0)) + preSum(m3(d, 1, 0))
-          finalCounts(7) += midSum(m3(1 - d, 1, 1)) + postSum(m3(1 - d, 1, 0)) + preSum(m3(d, 0, 0))
-        }
-      }
-
-      var start = 0
-      var end = 0
-      var j = 0
-      while (j < l) {
-        while (start < l && times(start) + delta < times(j)) { popPre(start); start += 1 }
-        while (end < l && times(end) <= times(j) + delta) { pushPost(end); end += 1 }
-        popPost(j); processCurrent(j); pushPre(j)
-        j += 1
-      }
-    }
-  }
-
-  /** Per-node star(24, two-node-subtracted) ++ two-node(8) counts, summed
-    * over all nodes: one mapGroups pass over incident events. */
-  private def starCounts(g: LinkGraph, delta: Long): Array[Long] = {
+  /** Raw per-node counts: (vid, star24 two-node-subtracted ++ two8).
+    * Shared by the global census (sum) and the local variant (as-is). */
+  private def starTwoNodeByNode(g: LinkGraph, delta: Long) = {
     val spark = g.spark
     import spark.implicits._
     // (node, nb, dir, ts, seq) for non-self exploded events
@@ -216,44 +41,38 @@ object TemporalMotifs {
       .union(g.edges.filter($"src" =!= $"dst")
         .select($"dst".as("node"), $"src".as("nb"), lit(IN).as("dir"), $"ts", $"seq"))
       .as[(Long, Long, Int, Long, Long)]
-    if (ev.isEmpty) return new Array[Long](32)
-    val partials = ev.groupByKey(_._1).mapGroups { (_, it) =>
+    ev.groupByKey(_._1).mapGroups { (node, it) =>
       val events = it.toArray.sortBy(e => (e._4, e._5)) // (ts, seq) order
-      // dense neighbour index
+      // dense neighbour index in first-appearance order
       val nbIndex = scala.collection.mutable.HashMap.empty[Long, Int]
       events.foreach(e => nbIndex.getOrElseUpdate(e._2, nbIndex.size))
-      val n = nbIndex.size
       val nbs = events.map(e => nbIndex(e._2))
       val dirs = events.map(_._3)
       val times = events.map(_._4)
-      // two-node counts: per neighbour event stream
+      // two-node counts: one PairCounter per neighbour event stream
       val two = new Array[Long](8)
       events.groupBy(_._2).foreach { case (_, es) =>
-        val c = new TwoNodeCounter
-        c.execute(es.map(_._3), es.map(_._4), delta)
+        val c = new Counters.PairCounter
+        c.run(es.map(_._3), es.map(_._4), delta)
         var i = 0
-        while (i < 8) { two(i) += c.c3(i); i += 1 }
+        while (i < 8) { two(i) += c.counts(i); i += 1 }
       }
-      val sc = new StarCounter(n)
-      sc.execute(nbs, dirs, times, delta)
+      val sc = new Counters.StarCounter(nbIndex.size, nbs, dirs)
+      sc.sweep(times, delta)
       val star = sc.counts24
       val out = new Array[Long](32)
       var i = 0
       while (i < 24) { out(i) = star(i) - two(i % 8); i += 1 }
       while (i < 32) { out(i) = two(i - 24); i += 1 }
-      out
-    }
-    partials.reduce { (a, b) =>
-      val r = new Array[Long](32)
-      var i = 0
-      while (i < 32) { r(i) = a(i) + b(i); i += 1 }
-      r
+      (node, out)
     }
   }
 
-  /** Per-triangle motif counts summed over all triangles of the (2-core)
-    * graph. */
-  private def triangleCounts(g: LinkGraph, delta: Long): Array[Long] = {
+  // ---- per-triangle pass --------------------------------------------------
+
+  /** Per-triangle event streams keyed by the sorted triple (lo, mid, hi),
+    * over the 2-core (a triangle can only live there). */
+  private def triangleEvents(g: LinkGraph) = {
     val spark = g.spark
     import spark.implicits._
     val core = g.subgraph(KCore.coreSet(g, 2))
@@ -261,14 +80,13 @@ object TemporalMotifs {
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
       .filter($"a" =!= $"b").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (und.isEmpty) { und.unpersist(); return new Array[Long](8) }
     // triangles lo < mid < hi via wedge join on canonical edges
     val e1 = und.select($"a".as("lo"), $"b".as("mid"))
     val e2 = und.select($"a".as("lo2"), $"b".as("hi"))
     val wedges = e1.join(e2, $"lo" === $"lo2" && $"mid" < $"hi").select($"lo", $"mid", $"hi")
     val triangles = wedges.join(und, $"mid" === $"a" && $"hi" === $"b")
       .select($"lo", $"mid", $"hi")
-    // unordered-pair key join to collect each triangle's 6 event streams
+    // unordered-pair key join collects each triangle's 6 event streams
     val triPairs = triangles
       .select($"lo", $"mid", $"hi", $"lo".as("pa"), $"mid".as("pb"))
       .union(triangles.select($"lo", $"mid", $"hi", $"lo".as("pa"), $"hi".as("pb")))
@@ -276,47 +94,110 @@ object TemporalMotifs {
     val evPairs = core.edges.filter($"src" =!= $"dst")
       .select(least($"src", $"dst").as("pa"), greatest($"src", $"dst").as("pb"),
         $"src", $"dst", $"ts", $"seq")
-    val triEvents = triPairs.join(evPairs, Seq("pa", "pb"))
+    (und, triPairs.join(evPairs, Seq("pa", "pb"))
       .select($"lo", $"mid", $"hi", $"src", $"dst", $"ts", $"seq")
-      .as[(Long, Long, Long, Long, Long, Long, Long)]
-    val partials = triEvents.groupByKey(t => (t._1, t._2, t._3)).mapGroups {
-      (key: (Long, Long, Long), it: Iterator[(Long, Long, Long, Long, Long, Long, Long)]) =>
-      val (lo, mid, hi) = key
-      // reference encoding: v = smallest (uorv 0? no: u = the larger of the
-      // base pair, v = smaller, w = largest). Here base pair = (mid, lo),
-      // third = hi; "u" = mid (uorv 0), "v" = lo (uorv 1).
-      val events = it.toArray.sortBy(e => (e._6, e._7))
-      val uvE = new Array[Boolean](events.length)
-      val uorv = new Array[Int](events.length)
-      val dirs = new Array[Int](events.length)
-      val times = new Array[Long](events.length)
-      var i = 0
-      while (i < events.length) {
-        val (s, d, t) = (events(i)._4, events(i)._5, events(i)._6)
-        if (s == hi)      { uvE(i) = false; uorv(i) = if (d == mid) 0 else 1; dirs(i) = 0 }
-        else if (d == hi) { uvE(i) = false; uorv(i) = if (s == mid) 0 else 1; dirs(i) = 1 }
-        else if (s == mid){ uvE(i) = true;  uorv(i) = 1;                      dirs(i) = 1 }
-        else              { uvE(i) = true;  uorv(i) = 0;                      dirs(i) = 0 }
-        times(i) = t
-        i += 1
-      }
-      val tc = new TriangleCounter
-      tc.execute(uvE, uorv, dirs, times, delta)
-      tc.finalCounts
+      .as[(Long, Long, Long, Long, Long, Long, Long)])
+  }
+
+  /** Run one TriangleCounter over a triangle's merged stream from the
+    * perspective (u, v, w): base pair (u, v), third node w. Events arrive
+    * (src, dst, ts, seq)-sorted. Encoding per the reference
+    * (local_temporal_three_node_motifs.rs:248-272): w events carry
+    * wPartner 0 = links w↔u / 1 = links w↔v and dir 0 = from w / 1 = into
+    * w; base events carry dir 1 = u→v / 0 = v→u. */
+  private def countTriangle(events: Array[(Long, Long, Long, Long)],
+                            u: Long, v: Long, w: Long, delta: Long): Array[Long] = {
+    val l = events.length
+    val onBase = new Array[Boolean](l)
+    val wPartner = new Array[Int](l)
+    val dirs = new Array[Int](l)
+    val times = new Array[Long](l)
+    var i = 0
+    while (i < l) {
+      val (s, d, t, _) = events(i)
+      if (s == w)      { onBase(i) = false; wPartner(i) = if (d == u) 0 else 1; dirs(i) = 0 }
+      else if (d == w) { onBase(i) = false; wPartner(i) = if (s == u) 0 else 1; dirs(i) = 1 }
+      else if (s == u) { onBase(i) = true;  wPartner(i) = 1;                    dirs(i) = 1 }
+      else             { onBase(i) = true;  wPartner(i) = 0;                    dirs(i) = 0 }
+      times(i) = t
+      i += 1
     }
-    val res =
-      if (partials.isEmpty) new Array[Long](8)
-      else partials.reduce { (a, b) =>
+    val tc = new Counters.TriangleCounter(onBase, wPartner, dirs)
+    tc.sweep(times, delta)
+    tc.counts
+  }
+
+  // ---- public API ---------------------------------------------------------
+
+  /** The 40-element global census for one delta. */
+  def globalCounts(g: LinkGraph, delta: Long): Array[Long] = {
+    val spark = g.spark
+    import spark.implicits._
+    val starTwo =
+      if (g.edges.filter($"src" =!= $"dst").isEmpty) new Array[Long](32)
+      else starTwoNodeByNode(g, delta).map(_._2).reduce { (a, b) =>
+        val r = new Array[Long](32)
+        var i = 0
+        while (i < 32) { r(i) = a(i) + b(i); i += 1 }
+        r
+      }
+    val (und, triEv) = triangleEvents(g)
+    // global census counts each triangle ONCE, from the perspective
+    // u = mid, v = lo, w = hi (global_temporal_three_node_motifs.rs:180-210)
+    val triPartials = triEv.groupByKey(t => (t._1, t._2, t._3)).mapGroups { (key, it) =>
+      val (lo, mid, hi) = key
+      val events = it.map(e => (e._4, e._5, e._6, e._7)).toArray.sortBy(e => (e._3, e._4))
+      countTriangle(events, mid, lo, hi, delta)
+    }
+    val tri =
+      if (triPartials.isEmpty) new Array[Long](8)
+      else triPartials.reduce { (a, b) =>
         val r = new Array[Long](8)
         var i = 0
         while (i < 8) { r(i) = a(i) + b(i); i += 1 }
         r
       }
     und.unpersist()
-    res
+    starTwo ++ tri
   }
 
-  /** The 40-element global census for one delta. */
-  def globalCounts(g: LinkGraph, delta: Long): Array[Long] =
-    starCounts(g, delta) ++ triangleCounts(g, delta)
+  /** Per-node 40-element counts (local_temporal_three_node_motifs.rs):
+    * every node of the graph gets a row (vid, name, counts[40]) where
+    * stars/two-node count the node's incident triples and each triangle
+    * contributes its 8 closed-motif counts to all three members — member m
+    * counts from the perspective u = m, v = min of the other two, w = max
+    * (the reference's `w > v.node` intersect condition picks exactly that
+    * orientation, counts updated on u only:
+    * local_temporal_three_node_motifs.rs:232-290). */
+  def localCounts(g: LinkGraph, delta: Long): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val starTwo = starTwoNodeByNode(g, delta).toDF("vid", "star_two")
+    val (und, triEv) = triangleEvents(g)
+    val triPerMember = triEv.groupByKey(t => (t._1, t._2, t._3)).flatMapGroups { (key, it) =>
+      val (lo, mid, hi) = key
+      val events = it.map(e => (e._4, e._5, e._6, e._7)).toArray.sortBy(e => (e._3, e._4))
+      Iterator(
+        (lo, countTriangle(events, lo, mid, hi, delta)),
+        (mid, countTriangle(events, mid, lo, hi, delta)),
+        (hi, countTriangle(events, hi, lo, mid, delta)))
+    }
+    val triByNode = triPerMember.groupByKey(_._1).mapGroups { (vid, it) =>
+      val sum = new Array[Long](8)
+      it.foreach { case (_, c) =>
+        var i = 0
+        while (i < 8) { sum(i) += c(i); i += 1 }
+      }
+      (vid, sum)
+    }.toDF("vid", "tri")
+    val zeros32 = array((0 until 32).map(_ => lit(0L)): _*)
+    val zeros8 = array((0 until 8).map(_ => lit(0L)): _*)
+    val res = g.nodes
+      .join(starTwo, Seq("vid"), "left")
+      .join(triByNode, Seq("vid"), "left")
+      .select($"vid", $"name",
+        concat(coalesce($"star_two", zeros32), coalesce($"tri", zeros8)).as("counts"))
+    und.unpersist()
+    res
+  }
 }

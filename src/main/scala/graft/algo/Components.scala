@@ -6,13 +6,17 @@ import graft.graph.LinkGraph
 
 /** Directed-component algorithms (SURVEY §2.4.5):
   *
-  *  - `scc` — strongly connected components
-  *    (raphtory/src/algorithms/components/scc.rs:24-130: forward-reachability
-  *    prune + sequential Tarjan). We run an iterative (explicit-stack)
-  *    Tarjan on the collected dedup edge list; the partition is the unique
-  *    SCC partition, labelled canonically by each component's min vid (the
-  *    reference's numeric labels are emission-order indices — partition-
-  *    equal, label-arbitrary).
+  *  - `scc` — strongly connected components. The reference prunes by
+  *    forward reachability then runs sequential Tarjan
+  *    (raphtory/src/algorithms/components/scc.rs:24-130). Our scale shape
+  *    is the classic distributed TRIM prune (Fleischer/FW-BW): iteratively
+  *    drop nodes with zero in- or out-degree inside the surviving set —
+  *    every dropped node is a singleton SCC, and on web-shaped DAG-ish
+  *    graphs trim removes nearly everything. Only the cyclic RESIDUAL is
+  *    collected for an iterative (explicit-stack) Tarjan, so the full edge
+  *    list never reaches the driver. Labels are canonical min-vid members
+  *    (the reference's numeric labels are emission-order indices —
+  *    partition-equal, label-arbitrary).
   *  - `inComponentOf` / `outComponentOf` — the ancestor / descendant set of
   *    one node (components/in_components.rs:106, out_components.rs:109) as
   *    distributed iterative frontier semi-joins.
@@ -23,14 +27,61 @@ import graft.graph.LinkGraph
   */
 object Components {
 
-  /** Returns (vid, name, component_vid, component). */
-  def scc(g: LinkGraph): DataFrame = {
+  /** Returns (vid, name, component_vid, component). `trimIters` bounds the
+    * distributed trim loop; anything still alive after that is handed to
+    * the residual Tarjan regardless (correct for any cap). */
+  def scc(g: LinkGraph, trimIters: Int = 50): DataFrame = {
     val spark = g.spark
     import spark.implicits._
-    val edges = g.dedupEdges.as[(Long, Long)].collect()
-    val nodes = g.nodes.as[(Long, String)].collect().sortBy(_._1)
-    val names = nodes.toMap
-    val ids = nodes.map(_._1)
+    // self-loops never bind a node into a larger SCC; dropping them keeps
+    // the partition identical and lets trim peel pure-self-loop nodes
+    val e0 = g.dedupEdges.filter($"src" =!= $"dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- distributed trim: iterate until every survivor has an in- and
+    // an out-edge within the surviving set ----
+    var alive = e0.select($"src".as("vid"))
+      .join(e0.select($"dst".as("vid")), Seq("vid"), "left_semi")
+      .distinct().localCheckpoint(true)
+    var aliveCount = alive.count()
+    var iter = 0
+    var done = aliveCount == 0
+    while (!done && iter < trimIters) {
+      iter += 1
+      val e = e0
+        .join(alive.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+      val next = e.select($"src".as("vid")).distinct()
+        .join(e.select($"dst".as("vid")).distinct(), Seq("vid"), "left_semi")
+        .localCheckpoint(true)
+      val c = next.count()
+      done = c == aliveCount
+      alive = next
+      aliveCount = c
+    }
+
+    // ---- residual Tarjan on the (small) cyclic core ----
+    val resEdges = e0
+      .join(alive.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+      .join(alive.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+      .as[(Long, Long)].collect()
+    e0.unpersist()
+    val resNodes = alive.as[Long].collect().sorted
+    val residualLabel = tarjanMinVid(resNodes, resEdges)
+
+    // trimmed nodes are singleton SCCs labelled by their own vid
+    val resRows = residualLabel.toSeq.toDF("vid", "component_vid")
+    g.nodes
+      .join(resRows, Seq("vid"), "left")
+      .select($"vid", $"name", coalesce($"component_vid", $"vid").as("component_vid"))
+      .join(g.nodes.select($"vid".as("component_vid"), $"name".as("component")),
+        Seq("component_vid"))
+      .select($"vid", $"name", $"component_vid", $"component")
+  }
+
+  /** Iterative Tarjan over a compact node subset; returns vid → component
+    * min-vid for every input node. */
+  private def tarjanMinVid(ids: Array[Long], edges: Array[(Long, Long)]): Map[Long, Long] = {
     val idx = ids.zipWithIndex.toMap
     val n = ids.length
     val adj = Array.fill(n)(List.empty[Int])
@@ -79,8 +130,7 @@ object Components {
         }
       }
     }
-    val rows = (0 until n).map(i => (ids(i), names(ids(i)), ids(comp(i)), names(ids(comp(i)))))
-    spark.createDataset(rows).toDF("vid", "name", "component_vid", "component")
+    (0 until n).map(i => ids(i) -> ids(comp(i))).toMap
   }
 
   /** Descendant set of `source` (nodes reachable over out-edges), excluding

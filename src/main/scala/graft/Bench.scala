@@ -86,21 +86,33 @@ object Bench {
       extra("corpus_edges") = csr.edgeCount.toString
       csr.unpersist()
 
-      val (_, tWcc) = time { Wcc.run(g).count() }
-      results("corpus_wcc") = tWcc
-      val (tri, tTri) = time { Triangles.count(g, useKCore = false) }
-      results("corpus_triangles") = tTri
+      // corpus WCC / triangles: best of 2 rounds — the host VM phases in
+      // and out of 4-7x slowdowns (BASELINE.md methodology), so a single
+      // sample routinely misreports these two; best-of pins the
+      // interference-free estimate the same way the scaling legs do
+      val (_, tWcc1) = time { Wcc.run(g).count() }
+      val (_, tWcc2) = time { Wcc.run(g).count() }
+      results("corpus_wcc") = math.min(tWcc1, tWcc2)
+      val (tri, tTri1) = time { Triangles.count(g, useKCore = false) }
+      val (_, tTri2) = time { Triangles.count(g, useKCore = false) }
+      results("corpus_triangles") = math.min(tTri1, tTri2)
       extra("corpus_triangle_count") = tri.toString
       g.unpersist()
     }
 
     // ---- part 2: the oracle queries at sfDir ----
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      var ok = true
       val (_, t) = time {
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).count() catch { case _: Throwable => ok = false }
       }
-      results(name) = t
+      // failures are recorded as negative timings + listed in detail so a
+      // broken query can never masquerade as a fast one
+      results(name) = if (ok) t else -t
+      if (!ok) failed += name
     }
+    if (failed.nonEmpty) extra("failed_queries") = failed.mkString(",")
 
     // ---- part 3: N vs 4N scaling (BASELINE.md protocol) ----
     spark.stop()

@@ -89,6 +89,9 @@ object Queries2 {
       s.createDataset(counts.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
         .toDF("motif", "n")
     }),
+    "g_louvain" -> ((s, d) => // rows-only: seeded deterministic; quality-asserted in sbt test
+      graft.algo.Louvain.run(graph(s, d))
+        .select(col("vid").as("id"), col("community"))),
     "g_local_motifs" -> ((s, d) => { // rows-only: exact per-node fixture in sbt test
       val g = graph(s, d)
       graft.algo.TemporalMotifs.localCounts(g, delta = 32L)
@@ -299,6 +302,28 @@ object Queries2 {
          |comp AS (SELECT id, min(c) AS component FROM reach GROUP BY id)
          |SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
          |FROM comp GROUP BY component""".stripMargin,
+    // Stub-codec media metadata over the aux-dumped synthetic media table:
+    // the codec's metadata hash is md5(uppercase-hex(payload)) so DuckDB
+    // recomputes it exactly (media/Media.StubCodec.md5Meta).
+    "m_media_features" ->
+      s"""WITH m AS (SELECT media_id, kind, payload
+         |           FROM read_parquet('${Verify.AuxDir}/media.parquet/*.parquet')),
+         |h AS (SELECT media_id, kind, octet_length(payload) AS n_bytes,
+         |        CAST(('0x' || substr(md5(hex(payload)), 1, 15)) AS BIGINT) AS h
+         |      FROM m)
+         |SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+         |  CAST(CASE kind WHEN 'image' THEN 64 + (h & 1023)
+         |                 WHEN 'audio' THEN 0
+         |                 ELSE 320 + (h & 1023) END AS BIGINT) AS width,
+         |  CAST(CASE kind WHEN 'image' THEN 64 + ((h >> 10) & 1023)
+         |                 WHEN 'audio' THEN 0
+         |                 ELSE 240 + ((h >> 10) & 1023) END AS BIGINT) AS height,
+         |  CAST(CASE kind WHEN 'audio' THEN 8000 + ((h >> 20) & 32767)
+         |                 ELSE 0 END AS BIGINT) AS sample_rate,
+         |  CAST(CASE kind WHEN 'image' THEN 1
+         |                 WHEN 'audio' THEN 1 + ((h >> 36) & 255)
+         |                 ELSE 1 + ((h >> 20) & 1023) END AS BIGINT) AS n_frames
+         |FROM h""".stripMargin,
     // Tumbling 30 s activity windows over the aux-dumped crawl events
     // (window width = step, epoch-aligned like Spark's window()).
     "s_rolling_activity" ->

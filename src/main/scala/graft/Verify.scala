@@ -16,6 +16,8 @@ object Verify {
       graft.graph.LinkGraph.fromPages(graft.io.Corpus.tiny(spark).toDF()).cache())
     g.edges.coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/crawl_edges.parquet")
     g.nodes.coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/crawl_nodes.parquet")
+    graft.media.Media.syntheticMedia(spark, 200L).coalesce(1)
+      .write.mode("overwrite").parquet(s"$AuxDir/media.parquet")
   }
 
   def main(args: Array[String]): Unit = {

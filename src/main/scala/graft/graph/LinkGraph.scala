@@ -47,6 +47,31 @@ class LinkGraph(
   def layers(names: Seq[String]): LinkGraph =
     new LinkGraph(edges.filter(col("layer").isin(names: _*)), nodes, namesAreNumeric)
 
+  /** Default node type for nodes never explicitly typed
+    * (raphtory-api/src/core/entities/mod.rs — the reference's `_default`). */
+  val DefaultNodeType = "_default"
+
+  /** Attach node types from a (vid, node_type) table; untyped nodes get
+    * `_default` (db/api/view/node.rs:83-84). Returns a graph whose `nodes`
+    * carry the extra column, usable by subgraphNodeTypes. */
+  def withNodeTypes(types: DataFrame): LinkGraph = {
+    val t = types.select(col("vid"), col("node_type"))
+    val typed = nodes.drop("node_type").join(t, Seq("vid"), "left")
+      .withColumn("node_type", coalesce(col("node_type"), lit(DefaultNodeType)))
+    new LinkGraph(edges, typed, namesAreNumeric)
+  }
+
+  /** Induced subgraph of the nodes whose type is in `types` — the
+    * reference's subgraph_node_types
+    * (db/graph/views/node_type_filtered_subgraph.rs). Untyped graphs have
+    * every node at `_default`. */
+  def subgraphNodeTypes(types: Seq[String]): LinkGraph = {
+    val typed =
+      if (nodes.columns.contains("node_type")) nodes
+      else nodes.withColumn("node_type", lit(DefaultNodeType))
+    subgraph(typed.filter(col("node_type").isin(types: _*)).select(col("vid")))
+  }
+
   /** Induced subgraph on a node set given as a DataFrame with a `vid`
     * column (db/graph/views/node_subgraph.rs). Semi-joins both endpoints;
     * nodes filtered to the set. */

@@ -38,8 +38,11 @@ object Media {
     def features(bytes: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** Deterministic stand-in codec: metadata and features are pure
-    * functions of the payload bytes (splitmix64 over 8-byte windows). */
+  /** Deterministic stand-in codec. Metadata derives from the first 60 bits
+    * of md5(uppercase-hex(payload)) — a hash both Spark SQL and the DuckDB
+    * oracle can recompute (`md5(hex(payload))`), so the m_media_features
+    * driver query verifies end-to-end; features use a splitmix64 sample
+    * walk (not oracled). */
   object StubCodec extends MediaCodec {
     private def mix(bytes: Array[Byte], salt: Long): Long = {
       var h = salt
@@ -50,8 +53,16 @@ object Media {
       }
       h
     }
+    /** First 15 hex digits (60 bits) of md5 of the uppercase hex rendering:
+      * positive in a signed 64-bit lane on both engines. */
+    def md5Meta(bytes: Array[Byte]): Long = {
+      val hex = bytes.map(b => f"$b%02X").mkString
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = md.digest(hex.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(digest.substring(0, 15), 16)
+    }
     override def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Int) = {
-      val h = mix(bytes, 0x6D656469L)
+      val h = md5Meta(bytes)
       kind match {
         case "image" => (64 + ((h & 0x3ff).toInt), 64 + (((h >>> 10) & 0x3ff).toInt), 0, 1)
         case "audio" => (0, 0, 8000 + (((h >>> 20) & 0x7fff).toInt), 1 + (((h >>> 36) & 0xff).toInt))

@@ -15,6 +15,12 @@ object ScalingCheck {
       // spinning-disk /tmp serialises 32 concurrent shuffle writers;
       // tmpfs restores per-core shuffle bandwidth (cluster analogue: NVMe)
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // shuffle buffers off-heap: superstep state churn is the dominant
+      // allocation; keeping it out of the GC'd heap stabilises the
+      // high-core legs (SCALE_OFFHEAP=0 disables)
+      .config("spark.memory.offHeap.enabled",
+        (sys.env.getOrElse("SCALE_OFFHEAP", "1") == "1").toString)
+      .config("spark.memory.offHeap.size", sys.env.getOrElse("SCALE_OFFHEAP_SIZE", "16g"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

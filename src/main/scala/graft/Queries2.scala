@@ -82,7 +82,7 @@ object Queries2 {
     "g_betweenness_k50" -> ((s, d) => // rows-only: fixture-verified in sbt test
       graft.algo.Betweenness.run(graph(s, d), Some(50), normalized = true)
         .select(col("vid").as("id"), round(col("value"), 6).as("value"))),
-    "g_temporal_motifs" -> ((s, d) => { // rows-only: exact 40-count fixture in sbt test
+    "g_temporal_motifs" -> ((s, d) => { // exact 40-count fixture in sbt test + SQL census oracle
       val g = graph(s, d)
       val counts = graft.algo.TemporalMotifs.globalCounts(g, delta = 32L)
       import s.implicits._
@@ -92,7 +92,7 @@ object Queries2 {
     "g_louvain" -> ((s, d) => // rows-only: seeded deterministic; quality-asserted in sbt test
       graft.algo.Louvain.run(graph(s, d))
         .select(col("vid").as("id"), col("community"))),
-    "g_local_motifs" -> ((s, d) => { // rows-only: exact per-node fixture in sbt test
+    "g_local_motifs" -> ((s, d) => { // exact per-node fixture in sbt test + SQL census oracle
       val g = graph(s, d)
       graft.algo.TemporalMotifs.localCounts(g, delta = 32L)
         .select(col("vid").as("id"), posexplode(col("counts")).as(Seq("motif", "n")))
@@ -201,6 +201,8 @@ object Queries2 {
          |       (SELECT min(degree) FROM idg) AS min_in_degree""".stripMargin,
     "g_pagerank_median" -> Queries.pagerankOracle(
       "SELECT round(median(score), 9) AS median FROM pr WHERE iter = 20"),
+    "g_temporal_motifs" -> motifCensusSql(32L, local = false),
+    "g_local_motifs" -> motifCensusSql(32L, local = true),
     // HITS: 20 normalized power iterations via a tagged transfer matrix —
     // kind 'h' scatters hub(u) to recv_hub(v) along u→v, kind 'a' scatters
     // auth(v) to recv_auth(u) against it; zero self-rows keep every node in
@@ -394,6 +396,133 @@ object Queries2 {
         |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin
   )
+
+  /** The delta-temporal 3-node motif census in portable SQL: a bounded
+    * 3-way self-join over time-ordered events classifies every in-window
+    * event triple.
+    *
+    *  - star/two-node blocks: triples sharing a centre, classified by which
+    *    two events share a neighbour (pre/mid/post), indexed by the natural
+    *    time-order direction triple; all-same-neighbour triples are the
+    *    two-node block and are subtracted from each star class;
+    *  - triangle blocks: triples spanning exactly 3 nodes on 3 distinct
+    *    pairs; the 8-slot classification is the counter algebra's closed
+    *    form, enumerated from motifs.Counters.TriangleCounter over all
+    *    (base-position, direction) combinations:
+    *      base first:  slot = 4·db + 2·dp + (1−dq)
+    *      base middle: slot = 4·dp + 2·db + dq
+    *      base last:   slot = 4·(1−dp) + 2·(1−dq) + (1−db)
+    *    where base = the (u,v) event (db = src==u), p = the (u,w) event,
+    *    q = the (v,w) event (dp/dq = dst==w).
+    *
+    * `local = false` sums the census globally from the u=mid, v=lo, w=hi
+    * perspective; `local = true` emits per-node rows — stars per centre,
+    * each triangle counted once per member m from the (u=m, v=min others,
+    * w=max others) perspective — matching TemporalMotifs.localCounts. */
+  private def motifCensusSql(delta: Long, local: Boolean): String = {
+    val starKey = "c, m"
+    val triKey = "member, m2_"
+    val base =
+      s"""WITH $sqlGraph,
+         |ns AS (SELECT src, dst, ts, seq FROM ev WHERE src <> dst),
+         |inc AS (SELECT src AS c, dst AS nb, 1 AS dir, ts, seq FROM ns
+         |        UNION ALL SELECT dst, src, 0, ts, seq FROM ns),
+         |st AS (
+         |  SELECT a.c, 4*a.dir + 2*b.dir + g.dir AS m,
+         |         a.nb = b.nb AS pre_eq, a.nb = g.nb AS mid_eq, b.nb = g.nb AS post_eq
+         |  FROM inc a
+         |  JOIN inc b ON b.c = a.c AND (a.ts < b.ts OR (a.ts = b.ts AND a.seq < b.seq))
+         |            AND b.ts - a.ts <= $delta
+         |  JOIN inc g ON g.c = a.c AND (b.ts < g.ts OR (b.ts = g.ts AND b.seq < g.seq))
+         |            AND g.ts - a.ts <= $delta
+         |),
+         |star AS (
+         |  SELECT c, m,
+         |    count(*) FILTER (pre_eq) AS pre_raw,
+         |    count(*) FILTER (mid_eq) AS mid_raw,
+         |    count(*) FILTER (post_eq) AS post_raw,
+         |    count(*) FILTER (pre_eq AND mid_eq AND post_eq) AS all_same
+         |  FROM st GROUP BY $starKey
+         |),
+         |tri0 AS (
+         |  SELECT e1.src s1, e1.dst d1, e2.src s2, e2.dst d2, e3.src s3, e3.dst d3
+         |  FROM ns e1
+         |  JOIN ns e2 ON (e1.ts < e2.ts OR (e1.ts = e2.ts AND e1.seq < e2.seq)) AND e2.ts - e1.ts <= $delta
+         |  JOIN ns e3 ON (e2.ts < e3.ts OR (e2.ts = e3.ts AND e2.seq < e3.seq)) AND e3.ts - e1.ts <= $delta
+         |  WHERE len(list_distinct([e1.src, e1.dst, e2.src, e2.dst, e3.src, e3.dst])) = 3
+         |    AND (least(e1.src,e1.dst) <> least(e2.src,e2.dst) OR greatest(e1.src,e1.dst) <> greatest(e2.src,e2.dst))
+         |    AND (least(e1.src,e1.dst) <> least(e3.src,e3.dst) OR greatest(e1.src,e1.dst) <> greatest(e3.src,e3.dst))
+         |    AND (least(e2.src,e2.dst) <> least(e3.src,e3.dst) OR greatest(e2.src,e2.dst) <> greatest(e3.src,e3.dst))
+         |),
+         |tri1 AS (
+         |  SELECT s1,d1,s2,d2,s3,d3,
+         |    least(s1,d1,s2,d2,s3,d3) AS lo,
+         |    greatest(s1,d1,s2,d2,s3,d3) AS hi,
+         |    list_sort(list_distinct([s1,d1,s2,d2,s3,d3]))[2] AS mid
+         |  FROM tri0
+         |),""".stripMargin
+    val perspective =
+      if (local)
+        """trip AS (
+          |  SELECT t.*,
+          |    CASE r.r WHEN 0 THEN lo WHEN 1 THEN mid ELSE hi END AS u,
+          |    CASE r.r WHEN 0 THEN mid WHEN 1 THEN lo ELSE lo END AS v,
+          |    CASE r.r WHEN 0 THEN hi WHEN 1 THEN hi ELSE mid END AS w
+          |  FROM tri1 t, (SELECT unnest(generate_series(0, 2)) AS r) r
+          |),""".stripMargin
+      else
+        """trip AS (SELECT *, mid AS u, lo AS v, hi AS w FROM tri1),""".stripMargin
+    val classify =
+      s"""tri2 AS (
+         |  SELECT u AS member,
+         |    CASE WHEN least(s1,d1)=least(u,v) AND greatest(s1,d1)=greatest(u,v) THEN 0
+         |         WHEN least(s2,d2)=least(u,v) AND greatest(s2,d2)=greatest(u,v) THEN 1
+         |         ELSE 2 END AS slot_b,
+         |    CASE WHEN least(s1,d1)=least(u,v) AND greatest(s1,d1)=greatest(u,v) THEN CAST(s1=u AS INT)
+         |         WHEN least(s2,d2)=least(u,v) AND greatest(s2,d2)=greatest(u,v) THEN CAST(s2=u AS INT)
+         |         ELSE CAST(s3=u AS INT) END AS db,
+         |    CASE WHEN least(s1,d1)=least(u,w) AND greatest(s1,d1)=greatest(u,w) THEN CAST(d1=w AS INT)
+         |         WHEN least(s2,d2)=least(u,w) AND greatest(s2,d2)=greatest(u,w) THEN CAST(d2=w AS INT)
+         |         ELSE CAST(d3=w AS INT) END AS dp,
+         |    CASE WHEN least(s1,d1)=least(v,w) AND greatest(s1,d1)=greatest(v,w) THEN CAST(d1=w AS INT)
+         |         WHEN least(s2,d2)=least(v,w) AND greatest(s2,d2)=greatest(v,w) THEN CAST(d2=w AS INT)
+         |         ELSE CAST(d3=w AS INT) END AS dq
+         |  FROM trip
+         |),
+         |tric AS (
+         |  SELECT member, CASE slot_b
+         |           WHEN 0 THEN 4*db + 2*dp + (1-dq)
+         |           WHEN 1 THEN 4*dp + 2*db + dq
+         |           ELSE 4*(1-dp) + 2*(1-dq) + (1-db) END AS m2_,
+         |         count(*) AS n
+         |  FROM tri2 GROUP BY $triKey
+         |),""".stripMargin
+    val finalSel =
+      if (local)
+        """mot AS (
+          |  SELECT c AS id, m AS motif, pre_raw - all_same AS n FROM star
+          |  UNION ALL SELECT c, m + 8, mid_raw - all_same FROM star
+          |  UNION ALL SELECT c, m + 16, post_raw - all_same FROM star
+          |  UNION ALL SELECT c, m + 24, all_same FROM star
+          |  UNION ALL SELECT member, m2_ + 32, n FROM tric
+          |)
+          |SELECT grid.id, grid.motif, CAST(coalesce(mot.n, 0) AS BIGINT) AS n
+          |FROM (SELECT nodes.id, gs.motif
+          |      FROM nodes, (SELECT unnest(generate_series(0, 39)) AS motif) gs) grid
+          |LEFT JOIN mot ON mot.id = grid.id AND mot.motif = grid.motif""".stripMargin
+      else
+        """mot AS (
+          |  SELECT m AS motif, sum(pre_raw - all_same) AS n FROM star GROUP BY 1
+          |  UNION ALL SELECT m + 8, sum(mid_raw - all_same) FROM star GROUP BY 1
+          |  UNION ALL SELECT m + 16, sum(post_raw - all_same) FROM star GROUP BY 1
+          |  UNION ALL SELECT m + 24, sum(all_same) FROM star GROUP BY 1
+          |  UNION ALL SELECT m2_ + 32, sum(n) FROM tric GROUP BY 1
+          |)
+          |SELECT gs.motif, CAST(coalesce(mot.n, 0) AS BIGINT) AS n
+          |FROM (SELECT unnest(generate_series(0, 39)) AS motif) gs
+          |LEFT JOIN mot ON mot.motif = gs.motif""".stripMargin
+    base + "\n" + perspective + "\n" + classify + "\n" + finalSel
+  }
 
   /** MinHash → 4-band buckets → candidate pairs (optionally with exact
     * shingle Jaccard) in portable SQL. Band bucket = md5 of the

@@ -59,6 +59,18 @@ object Queries {
       r
     })
 
+  /** WCC memoized per (session, sfDir): g_wcc and g_wcc_sizes share a run. */
+  private val wccCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def wccRun(spark: SparkSession, dir: String): DataFrame =
+    wccCache.getOrElseUpdate((spark, dir), {
+      val r = Wcc.run(graph(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    })
+
   // NOTE: inside WITH RECURSIVE, DuckDB can treat a CTE body of the form
   // `a UNION b` as an iterative union (losing the dedup), so these use
   // DISTINCT over UNION ALL explicitly.
@@ -108,9 +120,9 @@ object Queries {
       Metrics.localReciprocity(graph(s, d))
         .select(col("vid").as("id"), round(col("value"), 6).as("value"))),
     "g_wcc" -> ((s, d) =>
-      Wcc.run(graph(s, d)).select(col("vid").as("id"), col("component_vid").as("component"))),
+      wccRun(s, d).select(col("vid").as("id"), col("component_vid").as("component"))),
     "g_wcc_sizes" -> ((s, d) =>
-      Wcc.run(graph(s, d)).groupBy(col("component_vid").as("component"))
+      wccRun(s, d).groupBy(col("component_vid").as("component"))
         .agg(count(lit(1)).as("n_nodes"))),
     "g_pagerank" -> ((s, d) =>
       pagerank20(s, d).select(col("vid").as("id"), round(col("score"), 9).as("score"))),

@@ -79,7 +79,7 @@ object Queries2 {
         .select(col("vid").as("id"), col("label"))),
     "g_kcore3" -> ((s, d) =>
       graft.algo.KCore.coreSet(graph(s, d), 3).select(col("vid").as("id"))),
-    "g_betweenness_k50" -> ((s, d) => // rows-only: fixture-verified in sbt test
+    "g_betweenness_k50" -> ((s, d) => // fixture-verified + recursive-SQL Brandes oracle
       graft.algo.Betweenness.run(graph(s, d), Some(50), normalized = true)
         .select(col("vid").as("id"), round(col("value"), 6).as("value"))),
     "g_temporal_motifs" -> ((s, d) => { // exact 40-count fixture in sbt test + SQL census oracle
@@ -120,6 +120,9 @@ object Queries2 {
       import s.implicits._
       Ann.annTopK(e, s.range(10).toDF("id"), k = 5, planes = 8)
     }),
+    "t_search" -> ((s, d) => // inverted-index TF-IDF top-20
+      graft.text.Search.search(tbl(s, d, "documents"),
+        Seq("spark", "shuffle", "query"), k = 20)),
     "s_rolling_counts" -> ((s, d) =>
       tbl(s, d, "events")
         // parquet naive timestamps read as NTZ in Spark 4; UTC session cast
@@ -130,7 +133,7 @@ object Queries2 {
           col("n"), col("sum_value"))),
     "s_rolling_activity" -> ((s, _) => // rolling() over crawl event-time
       StreamIngest.rollingActivity(tinyCrawl(s).edges, 30000L, 30000L)),
-    "m_media_features" -> ((s, d) => { // rows-only: deterministic stub codec
+    "m_media_features" -> ((s, d) => { // md5-metadata stub codec, oracled over aux media dump
       Media.extractFeatures(Media.syntheticMedia(s, 200L)).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
           col("height"), col("sample_rate"), col("n_frames"))
@@ -203,6 +206,53 @@ object Queries2 {
       "SELECT round(median(score), 9) AS median FROM pr WHERE iter = 20"),
     "g_temporal_motifs" -> motifCensusSql(32L, local = false),
     "g_local_motifs" -> motifCensusSql(32L, local = true),
+    // Brandes betweenness (first 50 sources, normalised) in recursive SQL:
+    // sigma via min-length walk counts (a minimal-length walk IS a
+    // shortest path), dependencies via fixpoint back-propagation over the
+    // shortest-path DAG, iterated max-dist rounds (each level's delta is
+    // final once every deeper level has settled).
+    "g_betweenness_k50" ->
+      s"""WITH RECURSIVE $sqlGraph,
+         |srcs AS (SELECT id AS s FROM nodes ORDER BY id LIMIT 50),
+         |walks(s, v, d, c) AS (
+         |  SELECT s, s, 0, CAST(1 AS DOUBLE) FROM srcs
+         |  UNION ALL
+         |  SELECT w.s, e.dst, w.d + 1, sum(w.c)
+         |  FROM walks w JOIN edges e ON e.src = w.v
+         |  WHERE w.d < 40
+         |  GROUP BY 1, 2, 3
+         |),
+         |sp AS (
+         |  SELECT s, v, min(d) AS dist, arg_min(c, d) AS sigma
+         |  FROM walks GROUP BY s, v
+         |),
+         |succ AS (
+         |  SELECT a.s, a.v, b.v AS w, a.sigma AS sv, b.sigma AS sw
+         |  FROM sp a JOIN edges e ON e.src = a.v
+         |  JOIN sp b ON b.s = a.s AND b.v = e.dst AND b.dist = a.dist + 1
+         |),
+         |deltas(k, s, v, delta) AS (
+         |  SELECT 0, s, v, CAST(0 AS DOUBLE) FROM sp
+         |  UNION ALL
+         |  SELECT x.k + 1, x.s, x.v, x.delta FROM (
+         |    SELECT d.k, p.s, p.v,
+         |           coalesce(sum(su.sv / su.sw * (1 + coalesce(dw.delta, 0))), 0) AS delta
+         |    FROM (SELECT * FROM deltas) d
+         |    JOIN sp p ON p.s = d.s AND p.v = d.v
+         |    LEFT JOIN succ su ON su.s = p.s AND su.v = p.v
+         |    LEFT JOIN (SELECT * FROM deltas) dw ON dw.s = su.s AND dw.v = su.w
+         |    WHERE d.k < (SELECT max(dist) FROM sp)
+         |    GROUP BY 1, 2, 3
+         |  ) x
+         |)
+         |SELECT n.id, round(coalesce(bt.b, 0) / ((cnt.n - 1.0) * (cnt.n - 2.0)), 6) AS value
+         |FROM nodes n
+         |CROSS JOIN (SELECT count(*) AS n FROM nodes) cnt
+         |LEFT JOIN (
+         |  SELECT v AS id, sum(delta) AS b
+         |  FROM deltas JOIN (SELECT max(k) AS mk FROM deltas) m ON deltas.k = m.mk
+         |  WHERE v <> s GROUP BY v
+         |) bt ON bt.id = n.id""".stripMargin,
     // HITS: 20 normalized power iterations via a tagged transfer matrix —
     // kind 'h' scatters hub(u) to recv_hub(v) along u→v, kind 'a' scatters
     // auth(v) to recv_auth(u) against it; zero self-rows keep every node in
@@ -387,6 +437,23 @@ object Queries2 {
     "d_lsh_candidates" -> lshCandSql(withJaccard = false),
     "d_minhash_jaccard" -> lshCandSql(withJaccard = true),
     "d_simhash" -> simhashSql,
+    // TF-IDF search: same whitespace tokenizer, score = sum tf*ln((N+1)/(df+1))
+    "t_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents
+        |),
+        |idx AS (SELECT term, doc_id, count(*) AS tf FROM toks
+        |        WHERE length(term) > 0 GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |idf AS (SELECT term, ln(((SELECT n FROM n) + 1.0) / (count(*) + 1.0)) AS idf
+        |        FROM idx WHERE term IN ('spark', 'shuffle', 'query') GROUP BY term)
+        |SELECT i.doc_id, round(sum(i.tf * f.idf), 6) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms_hit
+        |FROM idx i JOIN idf f ON f.term = i.term
+        |GROUP BY i.doc_id
+        |ORDER BY score DESC, i.doc_id
+        |LIMIT 20""".stripMargin,
     "d_norm_dup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc

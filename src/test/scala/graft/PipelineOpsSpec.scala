@@ -125,6 +125,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)))
   }
 
+  test("inverted-index TF-IDF search: postings, idf weighting, ranking") {
+    import graft.text.Search
+    val idx = Search.postings(docs).collect()
+    assert(idx.exists(r => r.getString(0) == "the" && r.getAs[Long]("doc_id") == 0L
+      && r.getAs[Long]("tf") == 2L))
+    val res = Search.search(docs, Seq("the", "und"), k = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // 'und' appears in 1 of 7 docs (idf ln(8/2)) and twice there; 'the' in
+    // 4 docs (idf ln(8/5)) — doc 5 must outrank the 'the' docs
+    assert(res.contains(5L) && res.contains(0L))
+    assert(res(5L) > res(0L))
+    assert(!res.contains(6L)) // no query term
+    assert(res.values.forall(_ > 0))
+  }
+
   test("media: stub decode batch shape, frame sampling, resize plan") {
     val media = Media.syntheticMedia(spark, 30L)
     val feats = Media.extractFeatures(media)

@@ -168,6 +168,8 @@ object Components {
   /** All-nodes ancestor (dir="in") or descendant (dir="out") sets:
     * (vid, name, members: array of member names, sorted by vid). */
   def allComponents(g: LinkGraph, dir: String): DataFrame = {
+    graft.bsp.DriverGuard.checkEdges(g, "Components.allComponents",
+      "inComponentOf/outComponentOf per node (distributed frontier joins); the all-nodes output is O(n^2) regardless")
     val spark = g.spark
     import spark.implicits._
     val edges0 = g.dedupEdges.as[(Long, Long)].collect()

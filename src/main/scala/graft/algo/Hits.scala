@@ -85,7 +85,7 @@ object Hits {
     while (!done && step < iterCount) {
       step += 1
       val t0 = System.nanoTime()
-      val recv = state.join(scatter, state("vid") === $"from")
+      val recv = state.hint("shuffle_hash").join(scatter, state("vid") === $"from")
         .groupBy($"to".as("rvid")).agg(
           sum(when($"kind" === 0, $"hub").otherwise(0.0)).as("rh"),
           sum(when($"kind" === 1, $"auth").otherwise(0.0)).as("ra"))

@@ -40,6 +40,8 @@ object Lpa {
   /** Exact driver-local replay. Returns (vid, name, label) where label is
     * the community's final GID. */
   def runExact(g: LinkGraph, seed: Option[Array[Byte]]): DataFrame = {
+    graft.bsp.DriverGuard.checkEdges(g, "Lpa.runExact",
+      "Lpa.runSync (deterministic synchronous sweeps, CSR or shuffle engine)")
     val spark = g.spark
     import spark.implicits._
     val nodes = g.nodes.select($"vid", $"name").as[(Long, String)].collect().sortBy(_._1)
@@ -140,7 +142,7 @@ object Lpa {
     while (!done && sweep < maxSweeps) {
       var changedTotal = 0L
       for (color <- 0 to 1) {
-        val counts = state.join(pairs, state("vid") === pairs("a"))
+        val counts = state.hint("shuffle_hash").join(pairs, state("vid") === pairs("a"))
           .groupBy($"b", $"label").agg(count(lit(1)).as("c"))
           .withColumn("ord_key",
             if (g.namesAreNumeric) $"label".cast("long") else $"label")

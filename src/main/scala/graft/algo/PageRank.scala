@@ -104,10 +104,13 @@ object PageRank {
       val t0 = System.nanoTime()
       val sinkContrib = factor * sinkMass
 
-      val contrib = state.join(edges, state("vid") === edges("src"))
+      // shuffle_hash hints: post-checkpoint state has unknown stats, so
+      // Spark would fall back to SMJ and re-sort the m-row cached edge
+      // table every superstep; SHJ builds the n-row state map instead
+      val contrib = state.hint("shuffle_hash").join(edges, state("vid") === edges("src"))
         .groupBy($"dst").agg(sum($"score" / $"out_degree").as("gather"))
 
-      val newState = state.join(contrib, state("vid") === contrib("dst"), "left")
+      val newState = state.join(contrib.hint("shuffle_hash"), state("vid") === contrib("dst"), "left")
         .select(state("vid"), state("out_degree"),
           (lit(cfg.damping) * coalesce($"gather", lit(0.0)) + teleport + sinkContrib).as("score"),
           state("score").as("prev_score"))

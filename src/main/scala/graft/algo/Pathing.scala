@@ -67,6 +67,8 @@ object Pathing {
     * (target, cost, path). Weight column defaults to 1.0 per event. */
   def dijkstra(g: LinkGraph, source: String, targets: Seq[String],
                weightCol: Option[String] = None, direction: String = "both"): DataFrame = {
+    graft.bsp.DriverGuard.checkEdges(g, "Pathing.dijkstra",
+      "Pathing.sssp (distributed BFS) for unweighted distances")
     val spark = g.spark
     import spark.implicits._
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))

@@ -34,6 +34,8 @@ object Seir {
 
   /** Returns (vid, name, infected, active, recovered). */
   def run(g: LinkGraph, seeds: Seq[String], cfg: Config): DataFrame = {
+    graft.bsp.DriverGuard.check(g, "Seir.run", g.edgeEventCount,
+      "window the event log first; the epidemic queue is inherently sequential")
     val spark = g.spark
     import spark.implicits._
     require(cfg.infectionProb >= 0 && cfg.infectionProb <= 1)

@@ -81,10 +81,10 @@ object Wcc {
     while (!done && step < iterCount) {
       step += 1
       val t0 = System.nanoTime()
-      val msgs = state.join(pairs, state("vid") === pairs("a"))
+      val msgs = state.hint("shuffle_hash").join(pairs, state("vid") === pairs("a"))
         .groupBy($"b").agg(min($"label").as("cand"))
 
-      val newState = state.join(msgs, state("vid") === msgs("b"), "left")
+      val newState = state.join(msgs.hint("shuffle_hash"), state("vid") === msgs("b"), "left")
         .select(state("vid"),
           least($"label", coalesce($"cand", $"label")).as("label"),
           (coalesce($"cand", $"label") < $"label").as("changed"))

@@ -61,6 +61,31 @@ object StreamIngest {
         regexp_extract(col("dst_url"), "^https?://([^/]+)", 1).as("dst_host"))
       .agg(count(lit(1)).as("n_edges"))
 
+  /** Running per-source totals over a live edge-event stream via
+    * arbitrary stateful processing (KeyValueGroupedDataset
+    * .mapGroupsWithState): each micro-batch folds its events into the
+    * per-key state (event count, last event time) and emits the updated
+    * row — the streaming analogue of a continuously-maintained degree
+    * table. State lives in the streaming state store (checkpointed,
+    * exactly-once on replay); use update/complete output mode. */
+  def liveSourceTotals(events: DataFrame,
+                       keyCol: String = "src_url", tsCol: String = "ts"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col(keyCol).cast("string"), col(tsCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (String, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          var (n, last) = state.getOption.getOrElse((0L, Long.MinValue))
+          rows.foreach { case (_, t) => n += 1; if (t > last) last = t }
+          state.update((n, last))
+          (key, n, last)
+      }
+      .toDF(keyCol, "n_events", "last_ts")
+  }
+
   /** Batch rolling windows over an edge-event table: one row per
     * (window_start, window_end) with edge/node activity counts —
     * `g.rolling(w, s)` as a single windowed aggregation. Exact distinct:

@@ -37,6 +37,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == streamed.size + 2) // page 55 has 2 out-links
   }
 
+  test("stateful streaming: per-source running totals accumulate across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val totals = StreamIngest.liveSourceTotals(input.toDF().toDF("src_url", "ts"))
+    val q = totals.writeStream.format("memory").queryName("live_totals")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(("a", 10L), ("a", 20L), ("b", 5L))
+      q.processAllAvailable()
+      val b1 = spark.table("live_totals").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(b1("a") == (2L, 20L) && b1("b") == (1L, 5L))
+      // second micro-batch folds into checkpointed state
+      input.addData(("a", 30L), ("c", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("live_totals").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      val latest = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(latest("a") == (3L, 30L))
+      assert(latest("b") == (1L, 5L))
+      assert(latest("c") == (1L, 1L))
+    } finally q.stop()
+  }
+
   test("watermarked rolling counts shape") {
     val events = Corpus.pages(spark, 30L, 2).toDF()
       .select(col("url").as("src_url"), col("url").as("dst_url"),

@@ -61,6 +61,16 @@ class LinkGraph(
     new LinkGraph(edges, typed, namesAreNumeric)
   }
 
+  /** Attach arbitrary node property columns from a table keyed by `vid`
+    * or by `name` — the load_node_props_from_* loaders
+    * (raphtory/src/io/arrow/df_loaders.rs node-property path). Properties
+    * become ordinary columns of `nodes`, filterable with native Catalyst
+    * predicates like every other property. */
+  def withNodeProps(props: DataFrame): LinkGraph = {
+    val key = if (props.columns.contains("vid")) "vid" else "name"
+    new LinkGraph(edges, nodes.join(props, Seq(key), "left"), namesAreNumeric)
+  }
+
   /** Induced subgraph of the nodes whose type is in `types` — the
     * reference's subgraph_node_types
     * (db/graph/views/node_type_filtered_subgraph.rs). Untyped graphs have

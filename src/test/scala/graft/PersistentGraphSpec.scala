@@ -62,6 +62,15 @@ class PersistentGraphSpec extends AnyFunSuite {
     assert(g.eventGraph.edgeEventCount == 2)
   }
 
+  test("node props loader: columns attach by name or vid and filter natively") {
+    val g = LinkGraph.fromNumericEdgeList(spark, Seq((0L, 1L, 1L), (1L, 2L, 2L)))
+    val props = Seq(("0", 0.9), ("2", 0.1)).toDF("name", "trust")
+    val typed = g.withNodeProps(props)
+    val trusted = typed.nodes.filter(col("trust") > 0.5).select("vid").collect().map(_.getLong(0))
+    assert(trusted.toSeq == Seq(0L))
+    assert(typed.nodes.filter(col("trust").isNull).count() == 1) // node 1 unannotated
+  }
+
   test("node types: withNodeTypes + subgraph_node_types") {
     val g = LinkGraph.fromNumericEdgeList(spark, Seq(
       (0L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 3L), (3L, 0L, 4L)))

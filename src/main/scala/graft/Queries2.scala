@@ -138,10 +138,11 @@ object Queries2 {
         .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
           col("height"), col("sample_rate"), col("n_frames"))
     }),
-    "crawl_seir" -> ((s, _) => { // rows-only: deterministic seeded epidemic
+    "crawl_seir" -> ((s, _) => { // hash-coin mode: order-independent => SQL fixpoint oracle
       val g = tinyCrawl(s)
       graft.algo.Seir.run(g, Seq(graft.io.Corpus.url(1)),
-        graft.algo.Seir.Config(infectionProb = 0.8, initialInfection = graft.io.Corpus.BaseMillis))
+        graft.algo.Seir.Config(infectionProb = 0.8,
+          initialInfection = graft.io.Corpus.BaseMillis, rngMode = "hash"))
     }),
     "crawl_wcc_sizes" -> ((s, _) => // scalar columns only: the driver's
       // pandas compare cannot hash array cells (round-1 hard error)
@@ -343,6 +344,28 @@ object Queries2 {
          |  AND (a.ts < b.ts OR (a.ts = b.ts AND a.seq < b.seq))
          |  AND b.ts - a.ts <= 50
          |GROUP BY 1, 2""".stripMargin,
+    // SI epidemic with per-event md5 coins over the aux-dumped crawl: the
+    // infection time is the min-fixpoint t(v) = min te of a coin-true event
+    // (u,v,te) with te >= t(u)+1 (incubation 1, no recovery) — exactly what
+    // Seir.run(rngMode="hash") computes via its event queue.
+    "crawl_seir" ->
+      s"""WITH RECURSIVE ${Queries.crawlSqlGraph},
+         |coins AS (
+         |  SELECT src, dst, ts, seq FROM cedges
+         |  WHERE CAST(('0x' || substr(md5(src || ':' || dst || ':' || ts || ':' || seq || ':seir'), 1, 8)) AS BIGINT)
+         |          / 4294967296.0 < 0.8
+         |),
+         |sd AS (SELECT vid FROM cnodes WHERE name = 'https://site0001.example/p/1'),
+         |inf(v, t) AS (
+         |  SELECT vid, CAST(${graft.io.Corpus.BaseMillis} AS BIGINT) FROM sd
+         |  UNION
+         |  SELECT c.dst, c.ts FROM inf i JOIN coins c ON c.src = i.v AND c.ts >= i.t + 1
+         |)
+         |SELECT n.vid, n.name, CAST(min(i.t) AS BIGINT) AS infected,
+         |  CAST(min(i.t) + 1 AS BIGINT) AS active,
+         |  CAST(9223372036854775807 AS BIGINT) AS recovered
+         |FROM inf i JOIN cnodes n ON n.vid = i.v
+         |GROUP BY n.vid, n.name""".stripMargin,
     // WCC component sizes of the aux-dumped tiny crawl (component = min vid).
     "crawl_wcc_sizes" ->
       s"""WITH RECURSIVE ${Queries.crawlSqlGraph},

@@ -30,7 +30,19 @@ object Seir {
       initialInfection: Long,
       recoveryRate: Option[Double] = None,
       incubationRate: Option[Double] = None,
-      seed: Array[Byte] = Array.fill[Byte](32)(7))
+      seed: Array[Byte] = Array.fill[Byte](32)(7),
+      /** Infection-coin source. "chacha" = one sequential seeded stream
+        * drawn in queue order (the reference's caller-RNG shape);
+        * "hash" = an independent md5-derived coin per edge event
+        * (md5u32(src:dst:ts:seq:salt)/2^32 < p) — still a deterministic
+        * RNG, but order-independent, which makes the SI epidemic a pure
+        * min-fixpoint: infection(v) = min event time te of a coin-true
+        * event (u,v,te) with te ≥ infection(u)+incubation. That form is
+        * replayable by the DuckDB oracle (recursive CTE) and would
+        * distribute as superstep min-propagation at scale. Only valid
+        * with constant incubation/recovery (rates draw from the
+        * sequential stream). */
+      rngMode: String = "chacha")
 
   /** Returns (vid, name, infected, active, recovered). */
   def run(g: LinkGraph, seeds: Seq[String], cfg: Config): DataFrame = {
@@ -39,10 +51,20 @@ object Seir {
     val spark = g.spark
     import spark.implicits._
     require(cfg.infectionProb >= 0 && cfg.infectionProb <= 1)
+    require(cfg.rngMode == "chacha" ||
+      (cfg.incubationRate.isEmpty && cfg.recoveryRate.isEmpty),
+      "hash rngMode supports constant incubation/recovery only")
     val rng = new graft.rng.Rand08.StdRng(cfg.seed)
     def uniform(): Double = (rng.nextU32().toLong & 0xffffffffL).toDouble / (1L << 32).toDouble
     def bernoulli(p: Double): Boolean = uniform() < p
     def exp(rate: Double): Long = (-math.log1p(-uniform()) / rate).toLong
+    /** Per-event md5 coin (rngMode "hash"): portable to the SQL oracle. */
+    def hashCoin(s: Long, d: Long, t: Long, q: Long, p: Double): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$s:$d:$t:$q:seir".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 32).toDouble < p
+    }
 
     val names = g.nodes.as[(Long, String)].collect().toMap
     val byName = names.map(_.swap)
@@ -75,7 +97,12 @@ object Seir {
           .toSeq.sortBy(_._2.head._4) // neighbour groups in first-event order
           .foreach { case (nbr, es) =>
             if (!states.contains(nbr)) {
-              es.iterator.map(e => (e._3, bernoulli(cfg.infectionProb)))
+              es.iterator.map { e =>
+                val coin =
+                  if (cfg.rngMode == "hash") hashCoin(e._1, e._2, e._3, e._4, cfg.infectionProb)
+                  else bernoulli(cfg.infectionProb)
+                (e._3, coin)
+              }
                 .collectFirst { case (et, true) => et }
                 .foreach(et => queue.enqueue((et, nbr)))
             }

@@ -31,6 +31,23 @@ class SeirSpec extends AnyFunSuite {
     assert(late.collect().map(_.getAs[String]("name")).toSet == Set("1"))
   }
 
+  test("hash-coin mode: deterministic, p=1/p=0 agree with chacha mode, min-fixpoint shape") {
+    val g = LinkGraph.fromNumericEdgeList(spark, path)
+    def runHash(p: Double) = Seir.run(g, Seq("1"),
+      Seir.Config(infectionProb = p, initialInfection = 0L, rngMode = "hash"))
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[Long]("infected")).toMap
+    // degenerate probabilities are rng-independent: must equal the chacha fixtures
+    assert(runHash(1.0) == Map("1" -> 0L, "2" -> 2L, "3" -> 4L, "4" -> 6L))
+    assert(runHash(0.0) == Map("1" -> 0L))
+    // intermediate p: reproducible run-to-run (pure function of the event log)
+    val edges = (1L to 30L).map(i => (1L, 1L + i % 10, i))
+    val g2 = LinkGraph.fromNumericEdgeList(spark, edges)
+    def run2() = Seir.run(g2, Seq("1"),
+      Seir.Config(infectionProb = 0.5, initialInfection = 0L, rngMode = "hash"))
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[Long]("infected")).toMap
+    assert(run2() == run2())
+  }
+
   test("deterministic for a fixed seed; recovery bounds the window") {
     val edges = (1L to 30L).map(i => (1L, 1L + i % 10, i)) // star with repeated events
     val g = LinkGraph.fromNumericEdgeList(spark, edges)

@@ -22,19 +22,22 @@ object RichClub {
   def temporalRichClub(agg: LinkGraph, views: Seq[LinkGraph], k: Int, windowSize: Int): Double = {
     val spark = agg.spark
     import spark.implicits._
-    val sk = agg.degrees.filter(col("degree") >= k).select($"vid").as[Long].collect().toSet
-    if (sk.size <= 1) return 0.0
-    val bSk = agg.spark.sparkContext.broadcast(sk)
+    // the club as a DataFrame: membership tests are broadcast SEMI-JOINS
+    // (codegen'd, pushdown-friendly), not a UDF over a driver Set
+    val club = agg.degrees.filter(col("degree") >= k).select($"vid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clubSize = club.count()
+    if (clubSize <= 1) { club.unpersist(); return 0.0 }
     val edgeSets: Seq[Set[(Long, Long)]] = views.map { v =>
       v.dedupEdges
         .filter($"src" =!= $"dst")
-        .filter(udf((s: Long, d: Long) => bSk.value.contains(s) && bSk.value.contains(d))
-          .apply($"src", $"dst"))
+        .join(broadcast(club).withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+        .join(broadcast(club).withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
         .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
         .distinct().as[(Long, Long)].collect().toSet
     }
-    bSk.destroy()
-    val possible = sk.size.toLong * (sk.size - 1) / 2
+    club.unpersist()
+    val possible = clubSize * (clubSize - 1) / 2
     edgeSets.sliding(windowSize).filter(_.size == windowSize)
       .map(w => w.reduce(_ intersect _).size.toDouble / possible)
       .foldLeft(0.0)(math.max)

@@ -23,6 +23,19 @@ class CsrEquivalenceSpec extends AnyFunSuite {
     assert(math.abs(csr.values.sum - 1.0) < 1e-9)
   }
 
+  test("hits: csr == df to 1e-12 on the tiny corpus") {
+    def byName(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("name") ->
+        (r.getAs[Double]("hub"), r.getAs[Double]("auth"))).toMap
+    val csr = byName(graft.algo.Hits.run(g, 20, tol = 0.0, mode = "csr"))
+    val df = byName(graft.algo.Hits.run(g, 20, tol = 0.0, mode = "df"))
+    assert(csr.keySet == df.keySet)
+    for ((k, (h, a)) <- csr) {
+      assert(math.abs(h - df(k)._1) < 1e-12, s"hub $k")
+      assert(math.abs(a - df(k)._2) < 1e-12, s"auth $k")
+    }
+  }
+
   test("wcc: csr == df exactly on the tiny corpus") {
     val csr = Wcc.run(g, mode = "csr").collect()
       .map(r => r.getAs[String]("name") -> r.getAs[String]("component")).toMap

@@ -6,23 +6,32 @@ import graft.bsp.{CsrSuperstep, LocalRunContext}
 import graft.algo.{PageRank, Triangles, Wcc}
 import graft.io.Corpus
 
-/** Driver-run benchmark. Prints ONE JSON line:
-  * {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...,
-  *  "corpus":{...},"scaling":{...}}.
+/** Driver-run benchmark. Emits the result JSON twice:
+  *
+  *  - ONE compact line on stdout — `{"metric":"total","value":S,"unit":
+  *    "sec","queries":{...},"sf":...,"detail":{...}}` with only the
+  *    headline detail keys, sized to survive a bounded tail capture (the
+  *    r1/r2 artifacts were truncated mid-line because the full per-round
+  *    distributions pushed the line past the capture window);
+  *  - the FULL JSON (same schema + per-round scaling distributions) at
+  *    `target/bench.json`, which is the authoritative artifact.
   *
   * Three parts:
   *  1. corpus pipeline — the reference's Criterion bench graph scale
   *     (seeded 500k-node / 2M-edge attachment graph,
   *     raphtory-benchmark/benches/algobench.rs:56-90): full HTML ingest,
   *     PageRank (20 iters, CSR fast path), WCC, triangle count; reports
-  *     edges-scattered/sec per PageRank superstep (the BASELINE.json metric);
+  *     edges-scattered/sec per PageRank superstep (the BASELINE.json
+  *     metric). EVERY recorded leg is best-of-2 — the host VM phases in
+  *     and out of 4-23x slowdowns (BASELINE.md methodology), and the r2
+  *     artifact caught the single-shot PageRank leg in one (23x).
   *  2. the oracle queries at SPARK_GRAFT_SF_DIR (row counts only);
-  *  3. scaling evidence (BASELINE.md protocol): PageRank supersteps (CSR
-  *     engine) on a 64M-edge seeded graph at local[8] vs local[32],
-  *     interleaved best-of rounds (the host VM is noisy), reporting
-  *     throughput at both and efficiency = thr32 / (4·thr8). Disable with
-  *     SPARK_GRAFT_SCALING=0; the shuffle-path legs are in
-  *     tools.ScalingCheck (SCALE_MODE=df).
+  *  3. scaling evidence (BASELINE.md protocol): DF-engine PageRank
+  *     supersteps on a 32M-edge seeded graph at local[2]/[8]/[32],
+  *     interleaved legs × rounds (9 per decision core count), best-of;
+  *     efficiency = thr(4N) / (4·thr(N)). Disable with
+  *     SPARK_GRAFT_SCALING=0. The CSR gather engine is recorded as the
+  *     single-box secondary.
   */
 object Bench {
 
@@ -56,6 +65,7 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val extra = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val fullOnly = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     // ---- part 1: corpus pipeline at the reference bench scale ----
     val spark = session(cpus)
@@ -73,12 +83,19 @@ object Bench {
       }
       results("corpus_csr_pack") = tCsr
       val outDeg = CsrGraph.outDegrees(csr)
-      val ctx = new LocalRunContext
-      val (_, tPr) = time {
-        CsrSuperstep.pageRank(csr, outDeg, 20, 0.0, 0.85, true, ctx)
+      // best-of-2: a single shot caught a ~23x host-noise phase in the r2
+      // artifact and misreported the flagship metric by that factor
+      def prLeg(): (Double, Int) = {
+        val ctx = new LocalRunContext
+        val (_, t) = time {
+          CsrSuperstep.pageRank(csr, outDeg, 20, 0.0, 0.85, true, ctx)
+        }
+        (t, ctx.stats.count(_.algo == "pagerank-csr"))
       }
+      val (t1, s1) = prLeg()
+      val (t2, s2) = prLeg()
+      val (tPr, steps) = if (t1 <= t2) (t1, s1) else (t2, s2)
       results("corpus_pagerank20") = tPr
-      val steps = ctx.stats.count(_.algo == "pagerank-csr")
       val scattered = csr.edgeCount * steps
       extra("pagerank_supersteps") = steps.toString
       extra("pagerank_edges_scattered_per_sec") = f"${scattered / tPr}%.0f"
@@ -86,17 +103,13 @@ object Bench {
       extra("corpus_edges") = csr.edgeCount.toString
       csr.unpersist()
 
-      // corpus WCC / triangles: best of 2 rounds — the host VM phases in
-      // and out of 4-7x slowdowns (BASELINE.md methodology), so a single
-      // sample routinely misreports these two; best-of pins the
-      // interference-free estimate the same way the scaling legs do
       val (_, tWcc1) = time { Wcc.run(g).count() }
       val (_, tWcc2) = time { Wcc.run(g).count() }
       results("corpus_wcc") = math.min(tWcc1, tWcc2)
       val (tri, tTri1) = time { Triangles.count(g, useKCore = false) }
       val (_, tTri2) = time { Triangles.count(g, useKCore = false) }
       results("corpus_triangles") = math.min(tTri1, tTri2)
-      extra("corpus_triangle_count") = tri.toString
+      fullOnly("corpus_triangle_count") = tri.toString
       g.unpersist()
     }
 
@@ -116,41 +129,46 @@ object Bench {
 
     // ---- part 3: N vs 4N scaling (BASELINE.md protocol) ----
     // HEADLINE = the DataFrame shuffle engine: it is the path a real
-    // multi-executor cluster runs (no broadcast state, no driver arrays),
-    // measured at local[2]/local[8]/local[32] so both N->4N pairs (2->8,
-    // 8->32) are recorded. The CSR gather engine (single-box fast path) is
-    // recorded as secondary. Every round of every interleaved leg lands in
-    // the JSON: this host is a noisy shared VM (identical rounds swing up
-    // to 6x) AND its cores share one memory system, so single-box
-    // efficiency at high core counts is bandwidth-capped — see
-    // BASELINE.md "What single-box N->4N scaling can and cannot show".
+    // multi-executor cluster runs (no broadcast state, no driver arrays).
+    // Decision core counts (2 and 8, the recorded N->4N pair) get 3 legs x
+    // 3 rounds = 9 interleaved samples each; the host is a noisy shared VM
+    // (identical rounds swing up to 6x) AND its cores share one memory
+    // system, so the 8->32 pair is bandwidth-capped and recorded as
+    // context only — see BASELINE.md "What single-box N->4N scaling can
+    // and cannot show".
     spark.stop()
     if (doScaling) {
       val scaleNodes = sys.env.getOrElse("SPARK_GRAFT_SCALE_NODES", "2000000").toLong
       val scaleK = 16
-      val iters = 5
-      val rounds = 2
-      val legs = 2 // interleaved: noise phases can swallow a whole leg
+      val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "4").toInt
+      val legs = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEGS", "3").toInt
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
       import graft.tools.ScalingCheck.measureRounds
 
-      def campaign(mode: String, cores: Seq[Int]): Map[Int, Seq[Double]] = {
+      // interleaved: each leg visits every core count once, so a noise
+      // phase cannot swallow all samples of one core count
+      def campaign(mode: String, plan: Seq[(Int, Int, Int)]): Map[Int, Seq[Double]] = {
         val acc = scala.collection.mutable.Map.empty[Int, Seq[Double]].withDefaultValue(Seq.empty)
-        for (_ <- 1 to legs; c <- cores)
-          acc(c) = acc(c) ++ measureRounds(c, scaleNodes, scaleK, iters, rounds, mode)
+        val maxLegs = plan.map(_._2).max
+        for (l <- 1 to maxLegs; (c, lgs, rds) <- plan if l <= lgs)
+          acc(c) = acc(c) ++ measureRounds(c, scaleNodes, scaleK, iters, rds, mode)
         acc.toMap
       }
 
-      val df = campaign("df", Seq(2, 8, 32))
-      val csr = campaign("csr", Seq(8, 32))
+      val df = campaign("df", Seq((2, legs, rounds), (8, legs, rounds), (32, 2, 2)))
+      val csr = campaign("csr", Seq((8, 2, 2), (32, 2, 2)))
       def best(m: Map[Int, Seq[Double]], c: Int): Double = m(c).max
       def eff(m: Map[Int, Seq[Double]], a: Int, b: Int): Double =
         best(m, b) / ((b.toDouble / a) * best(m, a))
 
       for ((c, rs) <- df.toSeq.sortBy(_._1))
-        extra(s"scaling_df_rounds_local$c") = rs.map(r => f"$r%.0f").mkString(" ")
+        fullOnly(s"scaling_df_rounds_local$c") = rs.map(r => f"$r%.0f").mkString(" ")
       for ((c, rs) <- csr.toSeq.sortBy(_._1))
-        extra(s"scaling_csr_rounds_local$c") = rs.map(r => f"$r%.0f").mkString(" ")
-      extra("scaling_mode") = "df-shuffle headline (cluster path); csr-gather secondary"
+        fullOnly(s"scaling_csr_rounds_local$c") = rs.map(r => f"$r%.0f").mkString(" ")
+      fullOnly("scaling_mode") = "df-shuffle headline (cluster path); csr-gather secondary"
+      fullOnly("scaling_note") =
+        "single shared-memory box: all cores share one memory system, so high-core strong scaling is bandwidth-capped; full round distribution above, physics + protocol in BASELINE.md"
+      extra("scaling_df_thr_local2") = f"${best(df, 2)}%.0f"
       extra("scaling_df_thr_local8") = f"${best(df, 8)}%.0f"
       extra("scaling_df_thr_local32") = f"${best(df, 32)}%.0f"
       extra("scaling_df_eff_2_8") = f"${eff(df, 2, 8)}%.3f"
@@ -161,13 +179,23 @@ object Bench {
       val (hp, he) = pairs.maxBy(_._2)
       extra("scaling_headline_pair") = hp
       extra("scaling_efficiency") = f"$he%.3f"
-      extra("scaling_note") =
-        "single shared-memory box: all cores share one memory system, so high-core strong scaling is bandwidth-capped; full round distribution above, physics + protocol in BASELINE.md"
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val ex = extra.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","detail":$ex}""")
+    def jsonLine(queryDecimals: Int, detail: Iterable[(String, String)]): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + s"%.${queryDecimals}f".format(v)
+      }.mkString("{", ",", "}")
+      val ex = detail.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","detail":$ex}"""
+    }
+    // authoritative artifact: full detail, written to a file the driver
+    // (and the docs) can read regardless of stdout capture limits
+    val full = jsonLine(3, extra ++ fullOnly)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full + "\n")
+    // stdout line: compact (2-decimal timings, headline detail only) so it
+    // survives a bounded tail capture intact
+    println(jsonLine(2, extra))
   }
 }

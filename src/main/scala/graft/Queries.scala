@@ -59,6 +59,14 @@ object Queries {
       r
     })
 
+  /** Triangle count memoized per (session, sfDir): g_triangle_count and
+    * g_clustering_coefficient share one enumeration. */
+  private val triCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private def triCount(spark: SparkSession, dir: String): Long =
+    triCache.getOrElseUpdate((spark, dir), Triangles.count(graph(spark, dir)))
+
   /** WCC memoized per (session, sfDir): g_wcc and g_wcc_sizes share a run. */
   private val wccCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -111,9 +119,14 @@ object Queries {
     "g_triplet_count" -> ((s, d) =>
       one(s, "triplets" -> lit(Metrics.tripletCount(graph(s, d))))),
     "g_triangle_count" -> ((s, d) =>
-      one(s, "triangles" -> lit(Triangles.count(graph(s, d))))),
-    "g_clustering_coefficient" -> ((s, d) =>
-      one(s, "value" -> round(lit(Metrics.globalClusteringCoefficient(graph(s, d))), 6))),
+      one(s, "triangles" -> lit(triCount(s, d)))),
+    "g_clustering_coefficient" -> ((s, d) => {
+      // same formula as Metrics.globalClusteringCoefficient, sharing the
+      // memoized triangle count with g_triangle_count
+      val triplets = Metrics.tripletCount(graph(s, d))
+      val v = if (triplets == 0) 0.0 else 3.0 * triCount(s, d) / triplets
+      one(s, "value" -> round(lit(v), 6))
+    }),
     "g_reciprocity" -> ((s, d) =>
       one(s, "value" -> round(lit(Metrics.globalReciprocity(graph(s, d))), 6))),
     "g_local_reciprocity" -> ((s, d) =>

@@ -89,9 +89,30 @@ object Queries2 {
       s.createDataset(counts.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
         .toDF("motif", "n")
     }),
-    "g_louvain" -> ((s, d) => // rows-only: seeded deterministic; quality-asserted in sbt test
-      graft.algo.Louvain.run(graph(s, d))
-        .select(col("vid").as("id"), col("community"))),
+    // Louvain labels are not SQL-recomputable (seeded ChaCha shuffle), so
+    // the oracle checks the PARTITION's consistency instead: the emitted
+    // (id, community) rows are dumped to the aux dir, and DuckDB
+    // independently recomputes their modularity over the same collapsed
+    // weights (Louvain.modularity's algebra in SQL), plus the structural
+    // invariants (every node labeled, labels = min member vid). The Spark
+    // side computes the same five numbers from its own run.
+    "g_louvain" -> ((s, d) => {
+      val g = graph(s, d)
+      val part = graft.algo.Louvain.run(g)
+      part.select(col("vid").as("id"), col("community"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${Verify.AuxDir}/louvain_partition.parquet")
+      import s.implicits._
+      val rows = part.select($"vid", $"community").as[(Long, Long)].collect()
+      val q = graft.algo.Louvain.modularity(g, rows.toMap)
+      val nonMin = rows.groupBy(_._2).count { case (c, xs) => c != xs.map(_._1).min }
+      one(s,
+        "n_nodes" -> lit(g.nodeCount),
+        "n_labeled" -> lit(rows.length.toLong),
+        "n_communities" -> lit(rows.map(_._2).distinct.length.toLong),
+        "non_min_labels" -> lit(nonMin.toLong),
+        "modularity" -> round(lit(q), 6))
+    }),
     "g_local_motifs" -> ((s, d) => { // exact per-node fixture in sbt test + SQL census oracle
       val g = graph(s, d)
       graft.algo.TemporalMotifs.localCounts(g, delta = 32L)
@@ -123,6 +144,20 @@ object Queries2 {
     "t_search" -> ((s, d) => // inverted-index TF-IDF top-20
       graft.text.Search.search(tbl(s, d, "documents"),
         Seq("spark", "shuffle", "query"), k = 20)),
+    // fuzzy term search (levenshtein <= 2 over the term dictionary): the
+    // 4-char query takes the lossless length-band prefilter; 'park' has
+    // real near-misses in the corpus vocabulary (spark=1, part=1)
+    "t_fuzzy_terms" -> ((s, d) => {
+      val idx = graft.text.Search.postings(tbl(s, d, "documents"))
+      val tdf = idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      graft.text.Search.fuzzy(tdf, "term", "park", 2)
+        .select(col("term"), col("dist"), col("df"))
+    }),
+    // fuzzy node-property search over the crawl graph's url names: the
+    // 28-char query also takes the (provably lossless) trigram prefilter
+    "crawl_fuzzy_url" -> ((s, _) =>
+      graft.text.Search.fuzzySearchNodes(tinyCrawl(s), "https://site0001.example/q/1", 2)
+        .select(col("vid").as("id"), col("name"), col("dist"))),
     "s_rolling_counts" -> ((s, d) =>
       tbl(s, d, "events")
         // parquet naive timestamps read as NTZ in Spark 4; UTC session cast
@@ -205,6 +240,37 @@ object Queries2 {
          |       (SELECT min(degree) FROM idg) AS min_in_degree""".stripMargin,
     "g_pagerank_median" -> Queries.pagerankOracle(
       "SELECT round(median(score), 9) AS median FROM pr WHERE iter = 20"),
+    // Louvain partition consistency (see the query comment): modularity is
+    // recomputed from the aux-dumped partition with the same algebra as
+    // algo/Louvain.modularity — undirected collapsed pair weights, k(v)
+    // counts self-loops twice, Q = Σ_c intra_c/m − (k_c/2m)².
+    "g_louvain" ->
+      s"""WITH $sqlGraph,
+         |part AS (SELECT id, community
+         |         FROM read_parquet('${Verify.AuxDir}/louvain_partition.parquet/*.parquet')),
+         |pw AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         |              CAST(count(*) AS DOUBLE) AS w
+         |       FROM ev GROUP BY 1, 2),
+         |mt AS (SELECT sum(w) AS m FROM pw),
+         |kn AS (SELECT id, sum(kv) AS k FROM (
+         |         SELECT a AS id, CASE WHEN a = b THEN 2 * w ELSE w END AS kv FROM pw
+         |         UNION ALL
+         |         SELECT b AS id, w AS kv FROM pw WHERE a <> b) t
+         |       GROUP BY id),
+         |kc AS (SELECT p.community AS c, sum(kn.k) AS kcom
+         |       FROM kn JOIN part p ON p.id = kn.id GROUP BY 1),
+         |intra AS (SELECT pa.community AS c, sum(pw.w) AS i FROM pw
+         |          JOIN part pa ON pa.id = pw.a JOIN part pb ON pb.id = pw.b
+         |          WHERE pa.community = pb.community GROUP BY 1),
+         |qv AS (SELECT sum(coalesce(i.i, 0) / (SELECT m FROM mt)
+         |             - pow(kc.kcom / (2 * (SELECT m FROM mt)), 2)) AS q
+         |       FROM kc LEFT JOIN intra i ON i.c = kc.c),
+         |mins AS (SELECT community, min(id) AS mn FROM part GROUP BY 1)
+         |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+         |       (SELECT count(*) FROM part) AS n_labeled,
+         |       (SELECT count(DISTINCT community) FROM part) AS n_communities,
+         |       (SELECT count(*) FROM mins WHERE community <> mn) AS non_min_labels,
+         |       (SELECT round(q, 6) FROM qv) AS modularity""".stripMargin,
     "g_temporal_motifs" -> motifCensusSql(32L, local = false),
     "g_local_motifs" -> motifCensusSql(32L, local = true),
     // Brandes betweenness (first 50 sources, normalised) in recursive SQL:
@@ -477,6 +543,24 @@ object Queries2 {
         |GROUP BY i.doc_id
         |ORDER BY score DESC, i.doc_id
         |LIMIT 20""".stripMargin,
+    // fuzzy search oracles: DuckDB computes the UNFILTERED levenshtein scan
+    // — equality with the prefiltered Spark plan proves losslessness
+    "t_fuzzy_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents
+        |),
+        |idx AS (SELECT term, doc_id FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+        |tdf AS (SELECT term, count(*) AS df FROM idx GROUP BY 1)
+        |SELECT term, CAST(levenshtein(term, 'park') AS BIGINT) AS dist,
+        |       CAST(df AS BIGINT) AS df
+        |FROM tdf WHERE levenshtein(term, 'park') <= 2""".stripMargin,
+    "crawl_fuzzy_url" ->
+      s"""WITH ${Queries.crawlSqlGraph}
+         |SELECT vid AS id, name,
+         |  CAST(levenshtein(name, 'https://site0001.example/q/1') AS BIGINT) AS dist
+         |FROM cnodes
+         |WHERE levenshtein(name, 'https://site0001.example/q/1') <= 2""".stripMargin,
     "d_norm_dup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc

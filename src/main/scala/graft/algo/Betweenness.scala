@@ -29,20 +29,37 @@ object Betweenness {
     if (n == 0) return spark.emptyDataset[(Long, String, Double)].toDF("vid", "name", "value")
     val idx = nodes.map(_._1).zipWithIndex.toMap
 
-    // compact CSR out-adjacency (distinct neighbours), broadcast once
-    val edgePairs = g.dedupEdges.as[(Long, Long)].collect()
-    val deg = new Array[Int](n + 1)
-    edgePairs.foreach { case (s, _) => deg(idx(s) + 1) += 1 }
-    var i = 1
-    while (i <= n) { deg(i) += deg(i - 1); i += 1 }
-    val offsets = deg
-    val targets = new Array[Int](edgePairs.length)
-    val cursor = offsets.clone()
-    edgePairs.foreach { case (s, d) =>
-      val si = idx(s)
-      targets(cursor(si)) = idx(d)
-      cursor(si) += 1
-    }
+    // compact CSR out-adjacency (distinct neighbours), broadcast once.
+    // The edge table is packed EXECUTOR-side into one primitive
+    // Array[Long] per partition ((srcIdx << 32) | dstIdx) so the driver
+    // receives dense 8-byte/edge blocks, not boxed row objects — and only
+    // after a fail-fast bound check (the broadcast-CSR regime requires
+    // the graph to fit executor memory anyway; past the bound the
+    // standard recourse is a smaller source sample on a subgraph).
+    graft.bsp.DriverGuard.check(g, "Betweenness.run", g.edgeCount,
+      "sample fewer sources on a subgraph; exact Brandes needs the broadcast CSR")
+    val bcIdx = sc.broadcast(idx)
+    val blocks = g.dedupEdges.as[(Long, Long)].rdd.mapPartitions { it =>
+      val m = bcIdx.value
+      val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { case (s, d) => buf += (m(s).toLong << 32) | (m(d).toLong & 0xffffffffL) }
+      Iterator(buf.result())
+    }.collect()
+    bcIdx.destroy()
+    val mEdges = blocks.iterator.map(_.length).sum
+    val packed = new Array[Long](mEdges)
+    var off = 0
+    blocks.foreach { a => System.arraycopy(a, 0, packed, off, a.length); off += a.length }
+    // srcIdx rides the high 32 bits, so a primitive sort IS the CSR order
+    java.util.Arrays.sort(packed)
+    val offsets = new Array[Int](n + 1)
+    var i = 0
+    while (i < mEdges) { offsets(((packed(i) >>> 32) + 1).toInt) += 1; i += 1 }
+    i = 1
+    while (i <= n) { offsets(i) += offsets(i - 1); i += 1 }
+    val targets = new Array[Int](mEdges)
+    i = 0
+    while (i < mEdges) { targets(i) = (packed(i) & 0xffffffffL).toInt; i += 1 }
     val bcOff = sc.broadcast(offsets)
     val bcTgt = sc.broadcast(targets)
 

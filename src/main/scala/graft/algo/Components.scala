@@ -27,9 +27,15 @@ import graft.graph.LinkGraph
   */
 object Components {
 
-  /** Returns (vid, name, component_vid, component). `trimIters` bounds the
-    * distributed trim loop; anything still alive after that is handed to
-    * the residual Tarjan regardless (correct for any cap). */
+  /** Returns (vid, name, component_vid, component). `trimIters` bounds
+    * each distributed trim loop. The residual cyclic core is collected
+    * for the iterative Tarjan ONLY while it fits the DriverGuard bound
+    * (`graft.driver.maxElements`, nodes + edges); above it, distributed
+    * FW-BW pivot rounds (Fleischer et al.'s forward/backward reachability
+    * decomposition — the same prune idea as scc.rs:24-60, distributed)
+    * extract whole SCCs via frontier semi-joins until the residual fits —
+    * on a web bowtie the first pivot round removes the giant cyclic core,
+    * so no O(core) collect ever reaches the driver. */
   def scc(g: LinkGraph, trimIters: Int = 50): DataFrame = {
     val spark = g.spark
     import spark.implicits._
@@ -38,39 +44,97 @@ object Components {
     val e0 = g.dedupEdges.filter($"src" =!= $"dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // ---- distributed trim: iterate until every survivor has an in- and
-    // an out-edge within the surviving set ----
     var alive = e0.select($"src".as("vid"))
       .join(e0.select($"dst".as("vid")), Seq("vid"), "left_semi")
       .distinct().localCheckpoint(true)
     var aliveCount = alive.count()
-    var iter = 0
-    var done = aliveCount == 0
-    while (!done && iter < trimIters) {
-      iter += 1
-      val e = e0
-        .join(alive.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
-        .join(alive.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
-      val next = e.select($"src".as("vid")).distinct()
-        .join(e.select($"dst".as("vid")).distinct(), Seq("vid"), "left_semi")
-        .localCheckpoint(true)
-      val c = next.count()
-      done = c == aliveCount
-      alive = next
-      aliveCount = c
-    }
 
-    // ---- residual Tarjan on the (small) cyclic core ----
-    val resEdges = e0
+    def aliveEdges(): DataFrame = e0
       .join(alive.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
       .join(alive.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
-      .as[(Long, Long)].collect()
-    e0.unpersist()
-    val resNodes = alive.as[Long].collect().sorted
-    val residualLabel = tarjanMinVid(resNodes, resEdges)
 
+    // distributed trim: iterate until every survivor has an in- and an
+    // out-edge within the surviving set (every dropped node is a singleton)
+    def trim(): Unit = {
+      var iter = 0
+      var done = aliveCount == 0
+      while (!done && iter < trimIters) {
+        iter += 1
+        val e = aliveEdges()
+        val next = e.select($"src".as("vid")).distinct()
+          .join(e.select($"dst".as("vid")).distinct(), Seq("vid"), "left_semi")
+          .localCheckpoint(true)
+        val c = next.count()
+        done = c == aliveCount
+        alive = next
+        aliveCount = c
+      }
+    }
+
+    // BFS closure of the pivot inside the residual, forward or backward
+    def reach(eAlive: DataFrame, pivot: Long, forward: Boolean): DataFrame = {
+      val e = if (forward) eAlive else eAlive.select($"dst".as("src"), $"src".as("dst"))
+      var visited = Seq(pivot).toDF("vid").localCheckpoint(true)
+      var frontier = visited
+      var exhausted = false
+      while (!exhausted) {
+        val next = frontier.join(e, frontier("vid") === e("src"))
+          .select($"dst".as("vid")).distinct()
+          .join(visited, Seq("vid"), "left_anti")
+          .localCheckpoint(true)
+        exhausted = next.isEmpty
+        if (!exhausted) { visited = visited.union(next).localCheckpoint(true); frontier = next }
+      }
+      visited
+    }
+
+    val bound = graft.bsp.DriverGuard.maxElements(g)
+    val maxPivotRounds = 64
+    val extracted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var residual = Option.empty[(Array[Long], Array[(Long, Long)])]
+    var rounds = 0
+    var finished = false
+    while (!finished) {
+      trim()
+      if (aliveCount == 0) {
+        finished = true
+      } else {
+        val eAlive = aliveEdges().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val eCount = eAlive.count()
+        if (aliveCount + eCount <= bound) {
+          // residual Tarjan on the (now small) cyclic core
+          residual = Some((alive.as[Long].collect().sorted, eAlive.as[(Long, Long)].collect()))
+          finished = true
+        } else if (rounds >= maxPivotRounds) {
+          // fail fast instead of a silent driver OOM
+          graft.bsp.DriverGuard.check(g, "Components.scc residual", aliveCount + eCount,
+            s"residual still $aliveCount nodes / $eCount edges after $maxPivotRounds FW-BW " +
+              "pivot rounds; raise graft.driver.maxElements or pre-partition the graph")
+          finished = true // unreachable: the residual is above the bound here
+        } else {
+          rounds += 1
+          // FW-BW: SCC(pivot) = forward-reachable ∩ backward-reachable.
+          // pivot = min alive vid, so it is also the component's canonical
+          // min-vid label (the component is a subset of alive).
+          val pivot = alive.agg(min($"vid")).head().getLong(0)
+          val f = reach(eAlive, pivot, forward = true)
+          val b = reach(eAlive, pivot, forward = false)
+          val comp = f.join(b, Seq("vid"), "left_semi").localCheckpoint(true)
+          extracted += comp.select($"vid", lit(pivot).as("component_vid"))
+          alive = alive.join(comp, Seq("vid"), "left_anti").localCheckpoint(true)
+          aliveCount = alive.count()
+        }
+        eAlive.unpersist()
+      }
+    }
+    e0.unpersist()
+
+    val residualRows = residual match {
+      case Some((ids, edges)) => tarjanMinVid(ids, edges).toSeq.toDF("vid", "component_vid")
+      case None => spark.emptyDataset[(Long, Long)].toDF("vid", "component_vid")
+    }
     // trimmed nodes are singleton SCCs labelled by their own vid
-    val resRows = residualLabel.toSeq.toDF("vid", "component_vid")
+    val resRows = (extracted :+ residualRows).reduce(_ union _)
     g.nodes
       .join(resRows, Seq("vid"), "left")
       .select($"vid", $"name", coalesce($"component_vid", $"vid").as("component_vid"))

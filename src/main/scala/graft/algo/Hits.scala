@@ -42,7 +42,7 @@ object Hits {
       return g.nodes.select(col("vid"), col("name"),
         lit(0.0).as("hub"), lit(0.0).as("auth")).limit(0)
     val useCsr = mode == "csr" ||
-      (mode == "auto" && maxVid < math.min(InMemMaxIds, Int.MaxValue.toLong))
+      (mode == "auto" && graft.graph.CsrGraph.inMemFits(g, maxVid, InMemMaxIds))
     if (useCsr) runCsr(g, iterCount, tol, ctx)
     else graft.bsp.IterativeConf.withStablePartitioning(g.spark) {
       runDf(g, iterCount, tol, ctx)

@@ -106,7 +106,7 @@ object Lpa {
       return g.nodes.select(col("vid"), col("name"), col("name").as("label")).limit(0)
     val useCsr = mode == "csr" ||
       (mode == "auto" && g.namesAreNumeric &&
-        maxVid < math.min(InMemMaxIds, Int.MaxValue.toLong))
+        graft.graph.CsrGraph.inMemFits(g, maxVid, InMemMaxIds))
     if (useCsr) runSyncCsr(g, maxSweeps)
     else graft.bsp.IterativeConf.withStablePartitioning(g.spark) { runSync0(g, maxSweeps) }
   }

@@ -44,7 +44,7 @@ object PageRank {
     }
     if (maxVid < 0) return g.nodes.select(col("vid"), col("name"), lit(0.0).as("score")).limit(0)
     val useCsr = cfg.mode == "csr" ||
-      (cfg.mode == "auto" && maxVid < math.min(cfg.inMemMaxIds, Int.MaxValue.toLong))
+      (cfg.mode == "auto" && graft.graph.CsrGraph.inMemFits(g, maxVid, cfg.inMemMaxIds))
     if (useCsr) runCsr(g, cfg, ctx) else runDf(g, cfg, ctx)
   }
 

@@ -133,11 +133,20 @@ object Pathing {
     val seedRows = g.nodes.filter($"name".isin(seeds: _*))
       .select($"vid", lit(startTime).as("earliest"))
 
-    // history(vid, t, src_name); frontier(vid, earliest)
-    var history = seedRows.select($"vid", lit(startTime).as("t"), lit("start").as("src_name"))
-      .localCheckpoint(true)
+    // state(vid, earliest); frontier(vid, earliest, prev) where prev = the
+    // node's previous earliest taint time (null when newly tainted). A
+    // node scatters only events with ts in [earliest, prev) — windows are
+    // DISJOINT across a node's lifetime, so no event is ever sent twice
+    // and per-step cost is O(frontier), with no distinct-shuffle of the
+    // cumulative history (the except-vs-history formulation re-shuffled
+    // the whole history table every superstep — quadratic over the run).
+    // History accumulates as per-step checkpointed batches, unioned once
+    // at the end instead of re-checkpointing a growing table per step.
+    val batches = scala.collection.mutable.ArrayBuffer(
+      seedRows.select($"vid", lit(startTime).as("t"), lit("start").as("src_name"))
+        .localCheckpoint(true))
     var state = seedRows.localCheckpoint(true) // tainted set with earliest times
-    var frontier = state
+    var frontier = state.withColumn("prev", lit(null).cast("long"))
     var step = 0L
     var done = frontier.isEmpty
     val bStops = stopVids
@@ -145,28 +154,33 @@ object Pathing {
       step += 1
       val scatter = frontier.filter(!$"vid".isin(bStops.toSeq: _*))
         .join(events, frontier("vid") === events("src"))
-        .filter($"ts" >= $"earliest")
+        .filter($"ts" >= $"earliest" && ($"prev".isNull || $"ts" < $"prev"))
         .join(g.nodes.select($"vid".as("src"), $"name".as("src_name")), Seq("src"))
         .select($"dst".as("vid"), $"ts".as("t"), $"src_name")
-      val newMsgs = scatter.except(history).localCheckpoint(true)
+      // distinct within the batch only (parallel same-ts events); disjoint
+      // windows already guarantee no duplicate across batches
+      val newMsgs = scatter.distinct().localCheckpoint(true)
       val touched = newMsgs.groupBy($"vid").agg(min($"t").as("msg_min"))
       val merged = state.join(touched, Seq("vid"), "full")
         .select($"vid",
           least(coalesce($"earliest", lit(Long.MaxValue)),
-            coalesce($"msg_min", lit(Long.MaxValue))).as("earliest"),
+            coalesce($"msg_min", lit(Long.MaxValue))).as("new_earliest"),
+          $"earliest".as("old_earliest"),
           $"earliest".isNull.as("is_new"),
           (coalesce($"msg_min", lit(Long.MaxValue)) <
             coalesce($"earliest", lit(Long.MaxValue))).as("improved"))
         .localCheckpoint(true)
       val newCount = merged.filter($"is_new").count()
-      history = history.union(newMsgs.select($"vid", $"t", $"src_name")).localCheckpoint(true)
-      frontier = merged.filter($"is_new" || $"improved").select($"vid", $"earliest")
+      batches += newMsgs
+      frontier = merged.filter($"is_new" || $"improved")
+        .select($"vid", $"new_earliest".as("earliest"),
+          when($"is_new", lit(null).cast("long")).otherwise($"old_earliest").as("prev"))
         .localCheckpoint(true)
-      state = merged.select($"vid", $"earliest")
+      state = merged.select($"vid", $"new_earliest".as("earliest"))
       done = newCount == 0
     }
     events.unpersist()
-    val hist = history
+    val hist = batches.reduce(_ union _)
       .withColumn("entry", concat($"t".cast("string"), lit(":"), $"src_name"))
       .groupBy($"vid").agg(sort_array(collect_list(struct($"t", $"src_name"))).as("sorted"))
       .select($"vid", expr("transform(sorted, x -> concat(cast(x.t as string), ':', x.src_name))").as("history"))

@@ -26,15 +26,30 @@ object Triangles {
   }
 
   /** Canonical undirected simple edges (a < b), self-loops dropped. */
-  private[algo] def undirectedSimple(g: LinkGraph): DataFrame = {
+  private[graft] def undirectedSimple(g: LinkGraph): DataFrame = {
     g.dedupEdges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
   }
 
-  private[algo] def triangleCountOf(und0: DataFrame): Long = {
+  private[graft] def triangleCountOf(und0: DataFrame): Long = {
     val und = und0.persist(StorageLevel.MEMORY_AND_DISK)
+    val (tri, oriented) = enumerate(und)
+    val n = tri.count()
+    oriented.unpersist(); und.unpersist()
+    n
+  }
+
+  /** Enumerate each triangle exactly once as (c, x, y): c = the wedge
+    * centre under degree-ordered orientation, x < y its two closing
+    * endpoints. `und` must be the canonical (a < b) simple edge table.
+    * The degree-order orientation bounds the wedge fan-out by O(m^1.5)
+    * regardless of hub degrees — every caller (global count, per-node
+    * credits) goes through this one shape so no O(Σ d²) wedge build
+    * exists anywhere. Returns (triangles, the persisted oriented edge
+    * table — unpersist it after consuming the triangles). */
+  private[graft] def enumerate(und: DataFrame): (DataFrame, DataFrame) = {
     // degree-order orientation: lo -> hi by (degree, id)
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(functions.count(lit(1)).as("d"))
@@ -47,37 +62,36 @@ object Triangles {
         when(aFirst, col("b")).otherwise(col("a")).as("hi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     oriented.count()
-
     // wedges centred at lo: pairs of oriented out-neighbours, canonicalised
     val e1 = oriented.select(col("lo").as("c"), col("hi").as("x"))
     val e2 = oriented.select(col("lo").as("c"), col("hi").as("y"))
     val wedges = e1.join(e2, "c").filter(col("x") < col("y"))
     // close the wedge with the canonical undirected edge (x, y)
-    val n = wedges.join(und, col("x") === und("a") && col("y") === und("b")).count()
-    oriented.unpersist(); und.unpersist()
-    n
+    val tri = wedges.join(und, col("x") === und("a") && col("y") === und("b"))
+      .select(col("c"), col("x"), col("y"))
+    (tri, oriented)
   }
 
   /** Per-node triangle participation over the undirected simple graph:
-    * (vid, triangles). Each triangle contributes once per member (it is the
-    * wedge centre of exactly one closing wedge). Used by local clustering
-    * coefficient (metrics/local_clustering_coefficient.rs:57-77). */
+    * (vid, triangles). Each oriented triangle is enumerated once and
+    * explodes exactly 3 member credits — same O(m^1.5) bound as the
+    * global count (the naive per-node formulation wedge-joins the full
+    * undirected adjacency, which is O(Σ d_v²): a 10^6-degree hub alone
+    * yields 10^12 wedge rows). Used by local clustering coefficient
+    * (metrics/local_clustering_coefficient.rs:57-77). */
   def perNode(g: LinkGraph): DataFrame = {
     val spark = g.spark
     import spark.implicits._
     val und = undirectedSimple(g).persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
-    // full undirected adjacency (both orientations)
-    val adj1 = und.select($"a".as("c"), $"b".as("x"))
-      .union(und.select($"b".as("c"), $"a".as("x")))
-    val adj2 = adj1.select($"c", $"x".as("y"))
-    val wedges = adj1.join(adj2, "c").filter($"x" < $"y")
-    val tri = wedges.join(und, $"x" === und("a") && $"y" === und("b"))
-    val res = tri.groupBy($"c".as("vid")).agg(functions.count(lit(1)).as("triangles"))
+    val (tri, oriented) = enumerate(und)
+    val credits = tri.select(explode(array($"c", $"x", $"y")).as("vid"))
+    val res = credits.groupBy($"vid").agg(functions.count(lit(1)).as("triangles"))
     val out = g.nodes.select($"vid")
       .join(res, Seq("vid"), "left")
       .select($"vid", coalesce($"triangles", lit(0L)).as("triangles"))
-    und.unpersist()
+      .localCheckpoint(true)
+    oriented.unpersist(); und.unpersist()
     out
   }
 }

@@ -37,7 +37,7 @@ object Wcc {
       return g.nodes.select(col("vid"), col("name"), col("vid").as("component_vid"),
         col("name").as("component")).limit(0)
     val useCsr = mode == "csr" ||
-      (mode == "auto" && maxVid < math.min(InMemMaxIds, Int.MaxValue.toLong))
+      (mode == "auto" && graft.graph.CsrGraph.inMemFits(g, maxVid, InMemMaxIds))
     if (useCsr) runCsr(g, iterCount, ctx) else runDf(g, iterCount, ctx)
   }
 

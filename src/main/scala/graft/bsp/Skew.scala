@@ -23,8 +23,16 @@ object Skew {
     * `dim` the replicated side (rows multiply by `salts` — keep it the
     * smaller table). Result equals skewed.join(dim, key, joinType) exactly;
     * only the physical distribution changes. The salt is a deterministic
-    * hash of the skewed row's other columns (no rand(): retries and
-    * speculative tasks stay consistent). Supported joinType: inner, left. */
+    * hash of the skewed row's other columns plus its input partition id
+    * (no rand(): retries and speculative tasks stay consistent — the
+    * partition id is a function of the upstream deterministic
+    * partitioning, not of scheduling). The partition-id term also covers
+    * the two cases a pure payload hash mishandles: a skewed DF with ONLY
+    * the key column (hash() with zero args is an error), and
+    * duplicate/constant-payload rows of one hot key, which would all land
+    * on a single salt. Identical rows inside one input partition still
+    * share a salt — salt spread is bounded by (payload cardinality ×
+    * input partitions) per key. Supported joinType: inner, left. */
   def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0)
@@ -32,9 +40,10 @@ object Skew {
       s"saltedJoin supports inner/left, got $joinType")
     val spark = skewed.sparkSession
     val saltCol = "__graft_salt"
-    val otherCols = skewed.columns.filter(_ != key).map(col)
+    val discriminators =
+      skewed.columns.filter(_ != key).map(col).toSeq :+ spark_partition_id()
     val salted = skewed.withColumn(saltCol,
-      pmod(hash(otherCols: _*), lit(salts)).cast("int"))
+      pmod(hash(discriminators: _*), lit(salts)).cast("int"))
     val replicated = dim.crossJoin(
       spark.range(salts).select(col("id").cast("int").as(saltCol)))
     salted.join(replicated, Seq(key, saltCol), joinType).drop(saltCol)

@@ -147,16 +147,28 @@ object Dedup {
   }
 
   /** Near-dup candidate pairs by simhash hamming distance ≤ maxDist,
-    * blocked on the top 16 bits (scale path: identical high halves). */
-  def simhashNearDups(sh: DataFrame, maxDist: Int = 3, idCol: String = "doc_id"): DataFrame = {
-    val l = sh.select(shiftright(col("simhash"), 16).as("blk"), col(idCol).as("a"),
-      col("simhash").as("ha"))
-    val r = sh.select(shiftright(col("simhash"), 16).as("blk"), col(idCol).as("b"),
-      col("simhash").as("hb"))
-    l.join(r, Seq("blk")).filter(col("a") < col("b"))
+    * blocked on `bands` disjoint (32/bands)-bit bands (Manku et al.,
+    * WWW'07 §3): a pair is a candidate iff SOME band is bit-identical, so
+    * by pigeonhole every pair with hamming distance < bands is found —
+    * the default 4 bands is COMPLETE for the default maxDist = 3 (the
+    * old single-high-16-bit block missed any pair whose flipped bits
+    * landed in the block). Block key = (band index, band value): one
+    * projection + posexplode, per-band equi-join, distinct. */
+  def simhashNearDups(sh: DataFrame, maxDist: Int = 3, idCol: String = "doc_id",
+                      bands: Int = 4): DataFrame = {
+    require(32 % bands == 0, s"bands must divide 32, got $bands")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map(b => shiftright(col("simhash"), b * width).bitwiseAND(mask))
+    val blocked = sh.select(col(idCol), col("simhash"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "blk")))
+    val l = blocked.select(col("band"), col("blk"), col(idCol).as("a"), col("simhash").as("ha"))
+    val r = blocked.select(col("band"), col("blk"), col(idCol).as("b"), col("simhash").as("hb"))
+    l.join(r, Seq("band", "blk")).filter(col("a") < col("b"))
       .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist"))
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs over a full cross product (baseline;

@@ -41,6 +41,19 @@ class CsrGraph(
 
 object CsrGraph {
 
+  /** CSR auto-mode fit test shared by PageRank/Wcc/Hits/Lpa: the dense id
+    * space is bounded AND the total node-name payload — which the fast
+    * path collects once to mint the result — stays under `maxNameBytes`
+    * (the id bound alone would admit 32M url-length names ≈ several GB of
+    * driver strings). One cheap agg over the node table; the supersteps
+    * it gates cost orders of magnitude more. */
+  def inMemFits(g: LinkGraph, maxVid: Long, maxIds: Long,
+                maxNameBytes: Long = 2L * 1024 * 1024 * 1024): Boolean =
+    maxVid >= 0 && maxVid < math.min(maxIds, Int.MaxValue.toLong) && {
+      val r = g.nodes.agg(sum(length(col("name")))).head()
+      r.isNullAt(0) || r.getLong(0) <= maxNameBytes
+    }
+
   private class RangeByDst(parts: Int, n: Int) extends Partitioner {
     override def numPartitions: Int = parts
     override def getPartition(key: Any): Int = {

@@ -81,6 +81,83 @@ object Media {
     }
   }
 
+  /** Real header-parsing codec for formats whose metadata lives in a fixed
+    * header — pure JVM, no native libs, so it runs on any executor. Width/
+    * height/sample-rate come from the actual bytes:
+    *
+    *  - PNG: 8-byte signature then the IHDR chunk (width/height u32 BE at
+    *    offsets 16/20) — public PNG spec (RFC 2083 / ISO 15948);
+    *  - JPEG: marker scan to the first SOFn frame header (height/width
+    *    u16 BE) — ITU T.81 §B.2.2;
+    *  - GIF: GIF87a/89a logical screen descriptor (u16 LE at 6/8);
+    *  - WAV: RIFF/WAVE chunk walk — `fmt ` gives channels + sample rate,
+    *    `data` size / block-align gives the frame count.
+    *
+    * Pixel decode (beyond the header) still needs a real image lib, so
+    * `features` and unrecognised payloads delegate to `fallback` — the
+    * deterministic StubCodec by default, which keeps synthetic-byte rows
+    * (and the m_media_features oracle) exactly as before. */
+  class HeaderCodec(fallback: MediaCodec = StubCodec) extends MediaCodec {
+    private def u16be(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u32be(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def u16le(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def u32le(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def ascii(b: Array[Byte], i: Int, n: Int): String =
+      new String(b, i, n, "US-ASCII")
+
+    /** (w, h, rate, frames) when the header parses, None otherwise. */
+    def parse(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      val b = bytes
+      if (b.length >= 24 && (b(0) & 0xff) == 0x89 && ascii(b, 1, 3) == "PNG"
+          && ascii(b, 12, 4) == "IHDR")
+        Some((u32be(b, 16), u32be(b, 20), 0, 1))
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+          && (b(2) & 0xff) == 0xff) {
+        // marker scan: SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC) carry the frame dims
+        var i = 2
+        var out = Option.empty[(Int, Int, Int, Int)]
+        while (out.isEmpty && i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+          val m = b(i + 1) & 0xff
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (i + 8 < b.length) out = Some((u16be(b, i + 7), u16be(b, i + 5), 0, 1))
+            else i = b.length
+          } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+          else if (i + 3 < b.length) i += 2 + u16be(b, i + 2)
+          else i = b.length
+        }
+        out
+      } else if (b.length >= 10 && (ascii(b, 0, 6) == "GIF87a" || ascii(b, 0, 6) == "GIF89a"))
+        Some((u16le(b, 6), u16le(b, 8), 0, 1))
+      else if (b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE") {
+        var pos = 12
+        var rate = 0
+        var blockAlign = 0
+        var dataSize = 0L
+        while (pos + 8 <= b.length) {
+          val id = ascii(b, pos, 4)
+          val size = u32le(b, pos + 4)
+          if (id == "fmt " && pos + 20 <= b.length) {
+            rate = u32le(b, pos + 12).toInt
+            blockAlign = if (pos + 22 <= b.length) u16le(b, pos + 20) else 0
+          } else if (id == "data") dataSize = size
+          pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+        if (rate > 0) {
+          val frames = if (blockAlign > 0) (dataSize / blockAlign).toInt else 0
+          Some((0, 0, rate, frames))
+        } else None
+      } else None
+    }
+
+    override def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Int) =
+      parse(bytes).getOrElse(fallback.decode(kind, bytes))
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      fallback.features(bytes, dim)
+  }
+  object HeaderCodec extends HeaderCodec(StubCodec)
+
   /** Batch decode + feature extraction: (media_id, kind, payload) →
     * MediaFeatures. Runs partition-at-a-time; null payloads are dropped
     * (recorded upstream by the caller's quality gate). */

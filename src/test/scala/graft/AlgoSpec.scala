@@ -153,6 +153,31 @@ class AlgoSpec extends AnyFunSuite {
     assert(got("6") != got("5") && got("1") != got("4"))
   }
 
+  test("SCC FW-BW: giant cycles above the driver bound are extracted distributedly") {
+    // two 40-cycles + a dangling tail; with the collect bound forced below
+    // the residual size, the FW-BW pivot rounds must label both cycles
+    // without any residual Tarjan collect (two rounds: one pivot each)
+    val cyc1 = (1L to 40L).map(i => (i, if (i == 40L) 1L else i + 1, 0L))
+    val cyc2 = (101L to 140L).map(i => (i, if (i == 140L) 101L else i + 1, 0L))
+    val tail = Seq((40L, 200L, 0L))
+    val g = LinkGraph.fromNumericEdgeList(spark, cyc1 ++ cyc2 ++ tail)
+    val prev = spark.conf.getOption("graft.driver.maxElements")
+    spark.conf.set("graft.driver.maxElements", "10")
+    try {
+      val got = Components.scc(g).collect()
+        .map(r => r.getAs[String]("name") -> r.getAs[String]("component")).toMap
+      assert((1L to 40L).map(i => got(i.toString)).toSet.size == 1)
+      assert((101L to 140L).map(i => got(i.toString)).toSet.size == 1)
+      assert(got("1") != got("101"))
+      assert(got("200") == "200") // trimmed singleton
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.driver.maxElements", v)
+        case None => spark.conf.unset("graft.driver.maxElements")
+      }
+    }
+  }
+
   test("in/out component of a node") {
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 2L)).map { case (s, d) => (s, d, 0L) }
     val g = LinkGraph.fromNumericEdgeList(spark, edges)

@@ -49,6 +49,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getAs[Long]("a") == 0L && r.getAs[Long]("b") == 1L))
   }
 
+  test("simhash banded blocking finds pairs whose flipped bits land in the high half") {
+    // 3 flips, ALL inside the top 16 bits (31, 28, 20) — the single
+    // high-16-bit block of round 2 missed exactly these; with 4 disjoint
+    // 8-bit bands the two low bands are identical, so the pair surfaces
+    // (pigeonhole: any pair within hamming distance 3 has a clean band)
+    val a = 0x0f0f1234L
+    val b = a ^ 0x90100000L
+    val sh = Seq((1L, a), (2L, b)).toDF("doc_id", "simhash")
+    val got = Dedup.simhashNearDups(sh, maxDist = 3).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Int]("dist")))
+    assert(got.toSeq == Seq((1L, 2L, 3)))
+    // completeness boundary: 4 flips, one per band — every band dirty, so
+    // blocking (correctly, per the k < bands guarantee) yields no candidate
+    val c = a ^ 0x01010101L
+    val sh2 = Seq((1L, a), (2L, c)).toDF("doc_id", "simhash")
+    assert(Dedup.simhashNearDups(sh2, maxDist = 4).collect().isEmpty)
+  }
+
   test("language id: en/de/fr marker heuristic") {
     val lang = TextOps.withLangGuess(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_guess")).toMap

@@ -181,21 +181,34 @@ object Bench {
       extra("scaling_efficiency") = f"$he%.3f"
     }
 
-    def jsonLine(queryDecimals: Int, detail: Iterable[(String, String)]): String = {
+    def jsonLine(queryDecimals: Int, totalDecimals: Int,
+                 detail: Iterable[(String, String)]): String = {
       val qs = results.map { case (k, v) =>
         "\"" + k + "\":" + s"%.${queryDecimals}f".format(v)
       }.mkString("{", ",", "}")
       val ex = detail.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-      val total = results.values.filter(_ >= 0).sum
+      val total = s"%.${totalDecimals}f".format(results.values.filter(_ >= 0).sum)
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","detail":$ex}"""
     }
     // authoritative artifact: full detail, written to a file the driver
     // (and the docs) can read regardless of stdout capture limits
-    val full = jsonLine(3, extra ++ fullOnly)
+    val full = jsonLine(3, 3, extra ++ fullOnly)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full + "\n")
-    // stdout line: compact (2-decimal timings, headline detail only) so it
-    // survives a bounded tail capture intact
-    println(jsonLine(2, extra))
+    // stdout line: the driver tail-captures the LAST 2000 chars of the run
+    // (measured from the r2 artifact, sbt's ~75-char success trailer
+    // included), so the printed line must stay under ~1900 chars to parse.
+    // 1-decimal timings + decision-only detail keys; drop detail entries
+    // (never queries — they are the driver contract) if still over budget.
+    val decisionKeys = Seq("pagerank_edges_scattered_per_sec", "scaling_headline_pair",
+      "scaling_efficiency", "scaling_df_eff_2_8", "scaling_df_eff_8_32",
+      "scaling_df_thr_local2", "scaling_df_thr_local8", "scaling_df_thr_local32",
+      "scaling_csr_eff_8_32", "pagerank_supersteps", "corpus_edges", "corpus_nodes")
+    val ordered = decisionKeys.filter(extra.contains).map(k => k -> extra(k))
+    val budget = 1850
+    val keep = scala.collection.mutable.ArrayBuffer(ordered: _*)
+    while (keep.nonEmpty && jsonLine(1, 2, keep).length > budget)
+      keep.remove(keep.length - 1)
+    println(jsonLine(1, 2, keep))
   }
 }

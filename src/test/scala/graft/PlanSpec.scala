@@ -90,6 +90,37 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin"), s"idf join did not broadcast:\n$s")
   }
 
+  test("per-node triangles: wedge join is degree-oriented (no unoriented adjacency self-join)") {
+    // the O(Σ d²) formulation unions both edge orientations ((a,b) ∪ (b,a))
+    // and self-joins that full adjacency — its physical plan necessarily
+    // contains a Union feeding the wedge join. The oriented path projects
+    // lo→hi once (each triangle counted at its unique wedge centre), so
+    // the executed plan must be Union-free.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).map { case (s, d) => (s, d, 0L) }
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    val res = graft.algo.Triangles.perNode(g)
+    // perNode localCheckpoints its result; audit the pre-checkpoint plan
+    val und = graft.algo.Triangles.undirectedSimple(g)
+    val (tri, oriented) = graft.algo.Triangles.enumerate(und)
+    // the degree table's build lineage (inside the cached oriented table)
+    // legitimately unions the two endpoint projections — only the WEDGE
+    // JOIN pipeline above the cache boundary must be union-free
+    import org.apache.spark.sql.execution.{SparkPlan, UnionExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def aboveCache(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: InMemoryTableScanExec => Seq(p)
+      case _ => p +: p.children.flatMap(aboveCache)
+    }
+    val nodesAbove = aboveCache(tri.queryExecution.executedPlan)
+    assert(!nodesAbove.exists(_.isInstanceOf[UnionExec]),
+      s"unoriented adjacency union in the wedge join:\n${plan(tri)}")
+    oriented.unpersist()
+    // vids are re-minted densely; compare by node name
+    val byName = res.join(g.nodes, "vid").select($"name", $"triangles")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName == Map("1" -> 1L, "2" -> 1L, "3" -> 1L, "4" -> 0L))
+  }
+
   test("superstep pipeline stays inside WholeStageCodegen (no interpreted hot path)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = docs.select(col("doc_id"),

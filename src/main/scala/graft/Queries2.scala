@@ -514,15 +514,9 @@ object Queries2 {
         |      FROM sims)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5""".stripMargin,
     "t_minhash" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, substr(text, CAST(g AS INT), 5) AS shingle FROM (
-        |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS g
-        |    FROM documents) t_expand
-        |),
-        |seeds AS (SELECT CAST(s.seed AS BIGINT) AS seed FROM generate_series(0, 7) s(seed))
-        |SELECT doc_id, seed,
-        |  min(CAST(('0x' || substr(md5(shingle || ':' || seed), 1, 8)) AS BIGINT)) AS minhash
-        |FROM sh, seeds GROUP BY doc_id, seed""".stripMargin,
+      s"""WITH $minhashShSql,
+         |${minhashSigSql(8)}
+         |SELECT doc_id, seed, minhash FROM sig""".stripMargin,
     "d_lsh_candidates" -> lshCandSql(withJaccard = false),
     "d_minhash_jaccard" -> lshCandSql(withJaccard = true),
     "d_simhash" -> simhashSql,
@@ -702,29 +696,47 @@ object Queries2 {
     * shingle Jaccard) in portable SQL. Band bucket = md5 of the
     * lexicographically sorted "seed:minhash" entries, comma-joined —
     * byte-identical to Dedup.lshBuckets. */
+  /** Shared shingle CTE (`sh`) for the minhash oracles. */
+  private val minhashShSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, substr(text, CAST(g AS INT), 5) AS shingle FROM (
+      |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS g
+      |    FROM documents) t_expand
+      |)""".stripMargin
+
+  /** Minhash signature CTE (`sig`) mirroring Dedup.minhashWide: ONE md5
+    * per shingle, then per-seed affine mixes with the SAME Scala-derived
+    * Carter–Wegman constants interpolated as literals (a·h + b stays
+    * below 2^63 on both engines — a is odd < 2^31, h < 2^32). */
+  private def minhashSigSql(nHashes: Int): String = {
+    val consts = (0 until nHashes)
+      .map(s => s"($s, ${graft.dedup.Dedup.mixA(s)}, ${graft.dedup.Dedup.mixB(s)})")
+      .mkString(", ")
+    s"""hs AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh
+       |),
+       |seeds(seed, ma, mb) AS (SELECT CAST(v.s AS BIGINT), v.a, v.b
+       |                        FROM (VALUES $consts) v(s, a, b)),
+       |sig AS (
+       |  SELECT doc_id, seed, min((ma * h + mb) % 4294967296) AS minhash
+       |  FROM hs, seeds GROUP BY doc_id, seed
+       |)""".stripMargin
+  }
+
   private def lshCandSql(withJaccard: Boolean): String = {
     val base =
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, substr(text, CAST(g AS INT), 5) AS shingle FROM (
-        |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS g
-        |    FROM documents) t_expand
-        |),
-        |seeds AS (SELECT CAST(s.seed AS BIGINT) AS seed FROM generate_series(0, 7) s(seed)),
-        |sig AS (
-        |  SELECT doc_id, seed,
-        |    min(CAST(('0x' || substr(md5(shingle || ':' || seed), 1, 8)) AS BIGINT)) AS minhash
-        |  FROM sh, seeds GROUP BY doc_id, seed
-        |),
-        |bnd AS (
-        |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-        |    md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed || ':' || minhash)) AS bucket
-        |  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
-        |),
-        |cand AS (
-        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |  FROM bnd l JOIN bnd r ON l.band = r.band AND l.bucket = r.bucket
-        |  WHERE l.doc_id < r.doc_id
-        |)""".stripMargin
+      s"""WITH $minhashShSql,
+         |${minhashSigSql(8)},
+         |bnd AS (
+         |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         |    md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed || ':' || minhash)) AS bucket
+         |  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bnd l JOIN bnd r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id
+         |)""".stripMargin
     if (!withJaccard) base + "\nSELECT a, b FROM cand"
     else base +
       """,

@@ -22,16 +22,43 @@ object Dedup {
     docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc"))
 
+  /** Carter–Wegman mixing constants for the minhash family, derived
+    * deterministically from the seed index via md5 so the DuckDB oracle
+    * can interpolate the SAME literals. `mixA` is odd and < 2^31 (so
+    * a·h + b < 2^63 — no 64-bit overflow on either engine for 32-bit h);
+    * `mixB` is a full 32-bit offset. */
+  def mixA(seed: Int): Long = (md5u32Local(s"a:$seed") & 0x7ffffffeL) | 1L
+  def mixB(seed: Int): Long = md5u32Local(s"b:$seed")
+
+  private def md5u32Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
   /** Wide MinHash signatures over char-`shingleN`-gram shingles: one row
-    * per doc with columns mh0..mh{nHashes-1}. ALL hashes compute in a
-    * single projection + one groupBy — the scatter is O(shingles), not
-    * O(shingles × nHashes) (the seed-crossJoin formulation inflates the
-    * shuffle nHashes-fold). */
+    * per doc with columns mh0..mh{nHashes-1}. ONE md5 per shingle; the
+    * nHashes family is derived by cheap affine universal mixes
+    * h_s = (mixA(s)·h + mixB(s)) mod 2^32 (Carter–Wegman), so the scatter
+    * is O(shingles) with a single cryptographic hash each — not
+    * O(shingles × nHashes) md5 invocations (the per-seed-md5 formulation
+    * cost nHashes× more hashing; the seed-crossJoin one additionally
+    * inflated the shuffle nHashes-fold). All mixes compute in a single
+    * projection + one groupBy.
+    *
+    * Family-quality check (sf0.01 documents, 4 bands × 2 rows): the
+    * theoretical expected candidate-pair count from true pairwise
+    * Jaccards is ~14.9k; four independent draws of the per-seed-md5
+    * family yield 4.1k–22.6k and four draws of this affine family yield
+    * 5.7k–16.1k — the draw-to-draw variance (popular shingles winning a
+    * min correlate quadratically many pairs at once) dwarfs any family
+    * difference, so the 8×-cheaper family costs no selectivity. */
   def minhashWide(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   nHashes: Int = 16, shingleN: Int = 5): DataFrame = {
     val shingles = TextOps.charShingles(docs, idCol, textCol, shingleN)
+      .select(col(idCol), TextOps.md5u32(col("shingle")).as("h"))
     val aggs = (0 until nHashes).map { s =>
-      min(TextOps.md5u32(concat(col("shingle"), lit(s":$s")))).as(s"mh$s")
+      min(pmod(lit(mixA(s)) * col("h") + lit(mixB(s)), lit(1L << 32))).as(s"mh$s")
     }
     shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }

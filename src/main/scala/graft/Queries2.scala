@@ -33,8 +33,13 @@ object Queries2 {
 
   private def lshCands(s: SparkSession, d: String): DataFrame =
     lshCandCache.getOrElseUpdate((s, d), {
-      val wide = Dedup.minhashWide(tbl(s, d, "documents"), nHashes = 8, shingleN = 5)
-      val c = Dedup.lshCandidates(Dedup.lshBucketsWide(wide, bands = 4, nHashes = 8))
+      // 16 hashes / 4 bands of 4 rows: LSH threshold (1/4)^(1/4) ≈ 0.707,
+      // matched to the 0.7 Jaccard verify target. The old 8/4 (2-row bands,
+      // threshold ≈ 0.5) produced 35× more candidates on boilerplate-heavy
+      // corpora (sf0.1: 554k → 16k pairs) with identical measured recall
+      // (all 256 true J≥0.7 pairs still found — see Dedup.minhashWide doc).
+      val wide = Dedup.minhashWide(tbl(s, d, "documents"), nHashes = 16, shingleN = 5)
+      val c = Dedup.lshCandidates(Dedup.lshBucketsWide(wide, bands = 4, nHashes = 16))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count()
       c
@@ -127,7 +132,7 @@ object Queries2 {
     }),
 
     "t_minhash" -> ((s, d) =>
-      Dedup.minhashSignatures(tbl(s, d, "documents"), nHashes = 8, shingleN = 5)
+      Dedup.minhashSignatures(tbl(s, d, "documents"), nHashes = 16, shingleN = 5)
         .select(col("doc_id"), col("seed").cast("long").as("seed"), col("minhash"))),
     "d_lsh_candidates" -> ((s, d) => lshCands(s, d)),
     "d_minhash_jaccard" -> ((s, d) => {
@@ -515,7 +520,7 @@ object Queries2 {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5""".stripMargin,
     "t_minhash" ->
       s"""WITH $minhashShSql,
-         |${minhashSigSql(8)}
+         |${minhashSigSql(16)}
          |SELECT doc_id, seed, minhash FROM sig""".stripMargin,
     "d_lsh_candidates" -> lshCandSql(withJaccard = false),
     "d_minhash_jaccard" -> lshCandSql(withJaccard = true),
@@ -726,11 +731,11 @@ object Queries2 {
   private def lshCandSql(withJaccard: Boolean): String = {
     val base =
       s"""WITH $minhashShSql,
-         |${minhashSigSql(8)},
+         |${minhashSigSql(16)},
          |bnd AS (
-         |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
          |    md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed || ':' || minhash)) AS bucket
-         |  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+         |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
          |),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b

@@ -135,6 +135,13 @@ object Queries2 {
       Dedup.minhashSignatures(tbl(s, d, "documents"), nHashes = 16, shingleN = 5)
         .select(col("doc_id"), col("seed").cast("long").as("seed"), col("minhash"))),
     "d_lsh_candidates" -> ((s, d) => lshCands(s, d)),
+    // the web-scale hot-bucket guard, exercised end-to-end: buckets larger
+    // than 3 members (boilerplate pile-ups) are dropped before pairing
+    "d_lsh_capped" -> ((s, d) => {
+      val wide = Dedup.minhashWide(tbl(s, d, "documents"), nHashes = 16, shingleN = 5)
+      Dedup.lshCandidates(Dedup.lshBucketsWide(wide, bands = 4, nHashes = 16),
+        maxBucketSize = 3L)
+    }),
     "d_minhash_jaccard" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       Dedup.jaccardVerify(lshCands(s, d), TextOps.charShingles(docs, "doc_id", "text", 5))
@@ -523,6 +530,7 @@ object Queries2 {
          |${minhashSigSql(16)}
          |SELECT doc_id, seed, minhash FROM sig""".stripMargin,
     "d_lsh_candidates" -> lshCandSql(withJaccard = false),
+    "d_lsh_capped" -> lshCandSql(withJaccard = false, maxBucketSize = 3L),
     "d_minhash_jaccard" -> lshCandSql(withJaccard = true),
     "d_simhash" -> simhashSql,
     // TF-IDF search: same whitespace tokenizer, score = sum tf*ln((N+1)/(df+1))
@@ -728,7 +736,16 @@ object Queries2 {
        |)""".stripMargin
   }
 
-  private def lshCandSql(withJaccard: Boolean): String = {
+  private def lshCandSql(withJaccard: Boolean, maxBucketSize: Long = 0L): String = {
+    // with a cap, pair only inside buckets of <= maxBucketSize members
+    // (mirrors Dedup.lshCandidates's hot-bucket guard)
+    val pairSrc =
+      if (maxBucketSize <= 0L) "bnd"
+      else
+        s"""(SELECT b.* FROM bnd b
+           |   JOIN (SELECT band, bucket FROM bnd GROUP BY band, bucket
+           |         HAVING count(*) <= $maxBucketSize) z
+           |   USING (band, bucket))""".stripMargin
     val base =
       s"""WITH $minhashShSql,
          |${minhashSigSql(16)},
@@ -739,7 +756,7 @@ object Queries2 {
          |),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bnd l JOIN bnd r ON l.band = r.band AND l.bucket = r.bucket
+         |  FROM $pairSrc l JOIN $pairSrc r ON l.band = r.band AND l.bucket = r.bucket
          |  WHERE l.doc_id < r.doc_id
          |)""".stripMargin
     if (!withJaccard) base + "\nSELECT a, b FROM cand"

@@ -71,21 +71,22 @@ object TemporalMotifs {
   // ---- per-triangle pass --------------------------------------------------
 
   /** Per-triangle event streams keyed by the sorted triple (lo, mid, hi),
-    * over the 2-core (a triangle can only live there). */
+    * over the 2-core (a triangle can only live there). Triangle discovery
+    * goes through Triangles.enumerate — the degree-ordered orientation —
+    * so the wedge fan-out is O(m^1.5) regardless of hub degrees (a
+    * vid-ordered wedge join is O(Σ d²) when a hub happens to hold the
+    * minimum vid among its neighbours). */
   private def triangleEvents(g: LinkGraph) = {
     val spark = g.spark
     import spark.implicits._
     val core = g.subgraph(KCore.coreSet(g, 2))
-    val und = core.dedupEdges
-      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      .filter($"a" =!= $"b").distinct()
+    val und = Triangles.undirectedSimple(core)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // triangles lo < mid < hi via wedge join on canonical edges
-    val e1 = und.select($"a".as("lo"), $"b".as("mid"))
-    val e2 = und.select($"a".as("lo2"), $"b".as("hi"))
-    val wedges = e1.join(e2, $"lo" === $"lo2" && $"mid" < $"hi").select($"lo", $"mid", $"hi")
-    val triangles = wedges.join(und, $"mid" === $"a" && $"hi" === $"b")
-      .select($"lo", $"mid", $"hi")
+    val (tri, oriented) = Triangles.enumerate(und)
+    // recover the sorted triple from the (centre, x, y) orientation
+    val lo = least($"c", $"x", $"y")
+    val hi = greatest($"c", $"x", $"y")
+    val triangles = tri.select(lo.as("lo"), ($"c" + $"x" + $"y" - lo - hi).as("mid"), hi.as("hi"))
     // unordered-pair key join collects each triangle's 6 event streams
     val triPairs = triangles
       .select($"lo", $"mid", $"hi", $"lo".as("pa"), $"mid".as("pb"))
@@ -94,7 +95,7 @@ object TemporalMotifs {
     val evPairs = core.edges.filter($"src" =!= $"dst")
       .select(least($"src", $"dst").as("pa"), greatest($"src", $"dst").as("pb"),
         $"src", $"dst", $"ts", $"seq")
-    (und, triPairs.join(evPairs, Seq("pa", "pb"))
+    (Seq(und, oriented), triPairs.join(evPairs, Seq("pa", "pb"))
       .select($"lo", $"mid", $"hi", $"src", $"dst", $"ts", $"seq")
       .as[(Long, Long, Long, Long, Long, Long, Long)])
   }
@@ -141,7 +142,7 @@ object TemporalMotifs {
         while (i < 32) { r(i) = a(i) + b(i); i += 1 }
         r
       }
-    val (und, triEv) = triangleEvents(g)
+    val (cached, triEv) = triangleEvents(g)
     // global census counts each triangle ONCE, from the perspective
     // u = mid, v = lo, w = hi (global_temporal_three_node_motifs.rs:180-210)
     val triPartials = triEv.groupByKey(t => (t._1, t._2, t._3)).mapGroups { (key, it) =>
@@ -157,7 +158,7 @@ object TemporalMotifs {
         while (i < 8) { r(i) = a(i) + b(i); i += 1 }
         r
       }
-    und.unpersist()
+    cached.foreach(_.unpersist())
     starTwo ++ tri
   }
 
@@ -173,7 +174,7 @@ object TemporalMotifs {
     val spark = g.spark
     import spark.implicits._
     val starTwo = starTwoNodeByNode(g, delta).toDF("vid", "star_two")
-    val (und, triEv) = triangleEvents(g)
+    val (cached, triEv) = triangleEvents(g)
     val triPerMember = triEv.groupByKey(t => (t._1, t._2, t._3)).flatMapGroups { (key, it) =>
       val (lo, mid, hi) = key
       val events = it.map(e => (e._4, e._5, e._6, e._7)).toArray.sortBy(e => (e._3, e._4))
@@ -192,12 +193,15 @@ object TemporalMotifs {
     }.toDF("vid", "tri")
     val zeros32 = array((0 until 32).map(_ => lit(0L)): _*)
     val zeros8 = array((0 until 8).map(_ => lit(0L)): _*)
+    // eager checkpoint before dropping the caches: the caller's action
+    // must not recompute the triangle enumeration uncached
     val res = g.nodes
       .join(starTwo, Seq("vid"), "left")
       .join(triByNode, Seq("vid"), "left")
       .select($"vid", $"name",
         concat(coalesce($"star_two", zeros32), coalesce($"tri", zeros8)).as("counts"))
-    und.unpersist()
+      .localCheckpoint(true)
+    cached.foreach(_.unpersist())
     res
   }
 }

@@ -31,6 +31,15 @@ object Queries2 {
   private val lshCandCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Motif census memoized per (session, sfDir): g_temporal_motifs and
+    * g_local_motifs share one triangle enumeration + counter sweep. */
+  private val motifCensusCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Array[Long], DataFrame)]
+
+  private def motifCensus(s: SparkSession, d: String): (Array[Long], DataFrame) =
+    motifCensusCache.getOrElseUpdate((s, d),
+      graft.algo.TemporalMotifs.census(graph(s, d), delta = 32L))
+
   private def lshCands(s: SparkSession, d: String): DataFrame =
     lshCandCache.getOrElseUpdate((s, d), {
       // 16 hashes / 4 bands of 4 rows: LSH threshold (1/4)^(1/4) ≈ 0.707,
@@ -88,8 +97,7 @@ object Queries2 {
       graft.algo.Betweenness.run(graph(s, d), Some(50), normalized = true)
         .select(col("vid").as("id"), round(col("value"), 6).as("value"))),
     "g_temporal_motifs" -> ((s, d) => { // exact 40-count fixture in sbt test + SQL census oracle
-      val g = graph(s, d)
-      val counts = graft.algo.TemporalMotifs.globalCounts(g, delta = 32L)
+      val counts = motifCensus(s, d)._1
       import s.implicits._
       s.createDataset(counts.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
         .toDF("motif", "n")
@@ -119,8 +127,7 @@ object Queries2 {
         "modularity" -> round(lit(q), 6))
     }),
     "g_local_motifs" -> ((s, d) => { // exact per-node fixture in sbt test + SQL census oracle
-      val g = graph(s, d)
-      graft.algo.TemporalMotifs.localCounts(g, delta = 32L)
+      motifCensus(s, d)._2
         .select(col("vid").as("id"), posexplode(col("counts")).as(Seq("motif", "n")))
         .select(col("id"), col("motif").cast("long").as("motif"), col("n"))
     }),

@@ -79,8 +79,12 @@ object TemporalMotifs {
   private def triangleEvents(g: LinkGraph) = {
     val spark = g.spark
     import spark.implicits._
-    val core = g.subgraph(KCore.coreSet(g, 2))
-    val und = Triangles.undirectedSimple(core)
+    // No 2-core prune here: the degree-ordered enumeration already bounds
+    // the wedge join at O(m^1.5), and the iterative peel costs several
+    // full-graph shuffle rounds per call — more than the constant-factor
+    // pruning it buys this plan (edges outside the 2-core produce no
+    // wedge closures and fall out of the equi-joins on their own).
+    val und = Triangles.undirectedSimple(g)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (tri, oriented) = Triangles.enumerate(und)
     // recover the sorted triple from the (centre, x, y) orientation
@@ -92,7 +96,7 @@ object TemporalMotifs {
       .select($"lo", $"mid", $"hi", $"lo".as("pa"), $"mid".as("pb"))
       .union(triangles.select($"lo", $"mid", $"hi", $"lo".as("pa"), $"hi".as("pb")))
       .union(triangles.select($"lo", $"mid", $"hi", $"mid".as("pa"), $"hi".as("pb")))
-    val evPairs = core.edges.filter($"src" =!= $"dst")
+    val evPairs = g.edges.filter($"src" =!= $"dst")
       .select(least($"src", $"dst").as("pa"), greatest($"src", $"dst").as("pb"),
         $"src", $"dst", $"ts", $"seq")
     (Seq(und, oriented), triPairs.join(evPairs, Seq("pa", "pb"))
@@ -130,62 +134,44 @@ object TemporalMotifs {
 
   // ---- public API ---------------------------------------------------------
 
-  /** The 40-element global census for one delta. */
-  def globalCounts(g: LinkGraph, delta: Long): Array[Long] = {
+  /** Global 40-census AND the per-node table from ONE triangle enumeration
+    * + counter sweep. The global census's single per-triangle perspective
+    * (u = mid, v = lo, w = hi, global_temporal_three_node_motifs.rs:
+    * 180-210) is exactly the mid member's local perspective (u = m, v =
+    * min of the others, w = max), so the 3-perspective local sweep
+    * subsumes it: global triangle slots = Σ of the mid-perspective rows,
+    * global star/two-node slots = Σ of the per-node rows. Callers that
+    * need both (the driver runs the global and the local census over the
+    * same graph and delta) pay for one pass instead of two. */
+  def census(g: LinkGraph, delta: Long): (Array[Long], DataFrame) = {
     val spark = g.spark
     import spark.implicits._
-    val starTwo =
-      if (g.edges.filter($"src" =!= $"dst").isEmpty) new Array[Long](32)
-      else starTwoNodeByNode(g, delta).map(_._2).reduce { (a, b) =>
-        val r = new Array[Long](32)
-        var i = 0
-        while (i < 32) { r(i) = a(i) + b(i); i += 1 }
-        r
-      }
-    val (cached, triEv) = triangleEvents(g)
-    // global census counts each triangle ONCE, from the perspective
-    // u = mid, v = lo, w = hi (global_temporal_three_node_motifs.rs:180-210)
-    val triPartials = triEv.groupByKey(t => (t._1, t._2, t._3)).mapGroups { (key, it) =>
-      val (lo, mid, hi) = key
-      val events = it.map(e => (e._4, e._5, e._6, e._7)).toArray.sortBy(e => (e._3, e._4))
-      countTriangle(events, mid, lo, hi, delta)
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def sumSlices(n: Int)(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val r = new Array[Long](n)
+      var i = 0
+      while (i < n) { r(i) = a(i) + b(i); i += 1 }
+      r
     }
-    val tri =
-      if (triPartials.isEmpty) new Array[Long](8)
-      else triPartials.reduce { (a, b) =>
-        val r = new Array[Long](8)
-        var i = 0
-        while (i < 8) { r(i) = a(i) + b(i); i += 1 }
-        r
-      }
-    cached.foreach(_.unpersist())
-    starTwo ++ tri
-  }
-
-  /** Per-node 40-element counts (local_temporal_three_node_motifs.rs):
-    * every node of the graph gets a row (vid, name, counts[40]) where
-    * stars/two-node count the node's incident triples and each triangle
-    * contributes its 8 closed-motif counts to all three members — member m
-    * counts from the perspective u = m, v = min of the other two, w = max
-    * (the reference's `w > v.node` intersect condition picks exactly that
-    * orientation, counts updated on u only:
-    * local_temporal_three_node_motifs.rs:232-290). */
-  def localCounts(g: LinkGraph, delta: Long): DataFrame = {
-    val spark = g.spark
-    import spark.implicits._
-    val starTwo = starTwoNodeByNode(g, delta).toDF("vid", "star_two")
+    val starTwoByNode = starTwoNodeByNode(g, delta).persist(sl)
     val (cached, triEv) = triangleEvents(g)
+    // all three member perspectives per triangle; isMid marks the one the
+    // global census counts
     val triPerMember = triEv.groupByKey(t => (t._1, t._2, t._3)).flatMapGroups { (key, it) =>
       val (lo, mid, hi) = key
       val events = it.map(e => (e._4, e._5, e._6, e._7)).toArray.sortBy(e => (e._3, e._4))
       Iterator(
-        (lo, countTriangle(events, lo, mid, hi, delta)),
-        (mid, countTriangle(events, mid, lo, hi, delta)),
-        (hi, countTriangle(events, hi, lo, mid, delta)))
-    }
+        (lo, countTriangle(events, lo, mid, hi, delta), false),
+        (mid, countTriangle(events, mid, lo, hi, delta), true),
+        (hi, countTriangle(events, hi, lo, mid, delta), false))
+    }.persist(sl)
+    // per-node table (local_temporal_three_node_motifs.rs:232-290: member
+    // m counts from the perspective u = m, v = min of the other two, w =
+    // max; the reference's `w > v.node` intersect condition picks exactly
+    // that orientation, counts updated on u only)
     val triByNode = triPerMember.groupByKey(_._1).mapGroups { (vid, it) =>
       val sum = new Array[Long](8)
-      it.foreach { case (_, c) =>
+      it.foreach { case (_, c, _) =>
         var i = 0
         while (i < 8) { sum(i) += c(i); i += 1 }
       }
@@ -193,15 +179,29 @@ object TemporalMotifs {
     }.toDF("vid", "tri")
     val zeros32 = array((0 until 32).map(_ => lit(0L)): _*)
     val zeros8 = array((0 until 8).map(_ => lit(0L)): _*)
-    // eager checkpoint before dropping the caches: the caller's action
-    // must not recompute the triangle enumeration uncached
-    val res = g.nodes
-      .join(starTwo, Seq("vid"), "left")
+    // eager checkpoint before dropping the caches: a later action on the
+    // local table must not recompute the triangle enumeration uncached
+    val local = g.nodes
+      .join(starTwoByNode.toDF("vid", "star_two"), Seq("vid"), "left")
       .join(triByNode, Seq("vid"), "left")
       .select($"vid", $"name",
         concat(coalesce($"star_two", zeros32), coalesce($"tri", zeros8)).as("counts"))
       .localCheckpoint(true)
-    cached.foreach(_.unpersist())
-    res
+    val starTwo =
+      if (starTwoByNode.isEmpty) new Array[Long](32)
+      else starTwoByNode.map(_._2).reduce(sumSlices(32) _)
+    val midRows = triPerMember.filter(_._3).map(_._2)
+    val tri =
+      if (midRows.isEmpty) new Array[Long](8)
+      else midRows.reduce(sumSlices(8) _)
+    starTwoByNode.unpersist(); triPerMember.unpersist(); cached.foreach(_.unpersist())
+    (starTwo ++ tri, local)
   }
+
+  /** The 40-element global census for one delta. */
+  def globalCounts(g: LinkGraph, delta: Long): Array[Long] = census(g, delta)._1
+
+  /** Per-node 40-element counts: every node of the graph gets a row
+    * (vid, name, counts[40]). */
+  def localCounts(g: LinkGraph, delta: Long): DataFrame = census(g, delta)._2
 }

@@ -10,7 +10,11 @@ import graft.graph.LinkGraph
   * (raphtory/src/algorithms/motifs/triangle_count.rs:64-127): undirected,
   * multi-edge-collapsed, self-loops never count, each triangle counted once.
   * The reference restricts to the 2-core first (an optimisation, not a
-  * semantic change) — we keep that as a flag.
+  * semantic change) — kept as a flag, default OFF: the iterative peel
+  * costs several full-graph shuffle rounds while the degree-ordered
+  * enumeration below already bounds the wedge join at O(m^1.5), and
+  * non-core edges close no wedges so they fall out of the equi-joins
+  * on their own.
   *
   * Physical shape: the degree-ordered node-iterator join. Edges are oriented
   * from the lower (degree, id) endpoint to the higher, which bounds the
@@ -20,7 +24,7 @@ import graft.graph.LinkGraph
   */
 object Triangles {
 
-  def count(g: LinkGraph, useKCore: Boolean = true): Long = {
+  def count(g: LinkGraph, useKCore: Boolean = false): Long = {
     val base = if (useKCore) g.subgraph(KCore.coreSet(g, 2)) else g
     triangleCountOf(undirectedSimple(base))
   }

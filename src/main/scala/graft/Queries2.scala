@@ -40,15 +40,29 @@ object Queries2 {
     motifCensusCache.getOrElseUpdate((s, d),
       graft.algo.TemporalMotifs.census(graph(s, d), delta = 32L))
 
+  /** LSH band buckets memoized per (session, sfDir): d_lsh_candidates,
+    * d_lsh_capped and d_minhash_jaccard share one shingle + signature +
+    * bucket computation. 16 hashes / 4 bands of 4 rows: LSH threshold
+    * (1/4)^(1/4) ≈ 0.707, matched to the 0.7 Jaccard verify target. The
+    * old 8/4 (2-row bands, threshold ≈ 0.5) produced 35× more candidates
+    * on boilerplate-heavy corpora (sf0.1: 554k → 16k pairs) with
+    * identical measured recall (all 256 true J≥0.7 pairs still found —
+    * see Dedup.minhashWide doc). */
+  private val lshBucketCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def lshBuckets(s: SparkSession, d: String): DataFrame =
+    lshBucketCache.getOrElseUpdate((s, d), {
+      val wide = Dedup.minhashWide(tbl(s, d, "documents"), nHashes = 16, shingleN = 5)
+      val b = Dedup.lshBucketsWide(wide, bands = 4, nHashes = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b.count()
+      b
+    })
+
   private def lshCands(s: SparkSession, d: String): DataFrame =
     lshCandCache.getOrElseUpdate((s, d), {
-      // 16 hashes / 4 bands of 4 rows: LSH threshold (1/4)^(1/4) ≈ 0.707,
-      // matched to the 0.7 Jaccard verify target. The old 8/4 (2-row bands,
-      // threshold ≈ 0.5) produced 35× more candidates on boilerplate-heavy
-      // corpora (sf0.1: 554k → 16k pairs) with identical measured recall
-      // (all 256 true J≥0.7 pairs still found — see Dedup.minhashWide doc).
-      val wide = Dedup.minhashWide(tbl(s, d, "documents"), nHashes = 16, shingleN = 5)
-      val c = Dedup.lshCandidates(Dedup.lshBucketsWide(wide, bands = 4, nHashes = 16))
+      val c = Dedup.lshCandidates(lshBuckets(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count()
       c
@@ -144,11 +158,8 @@ object Queries2 {
     "d_lsh_candidates" -> ((s, d) => lshCands(s, d)),
     // the web-scale hot-bucket guard, exercised end-to-end: buckets larger
     // than 3 members (boilerplate pile-ups) are dropped before pairing
-    "d_lsh_capped" -> ((s, d) => {
-      val wide = Dedup.minhashWide(tbl(s, d, "documents"), nHashes = 16, shingleN = 5)
-      Dedup.lshCandidates(Dedup.lshBucketsWide(wide, bands = 4, nHashes = 16),
-        maxBucketSize = 3L)
-    }),
+    "d_lsh_capped" -> ((s, d) =>
+      Dedup.lshCandidates(lshBuckets(s, d), maxBucketSize = 3L)),
     "d_minhash_jaccard" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       Dedup.jaccardVerify(lshCands(s, d), TextOps.charShingles(docs, "doc_id", "text", 5))

@@ -170,14 +170,22 @@ object Pathing {
           (coalesce($"msg_min", lit(Long.MaxValue)) <
             coalesce($"earliest", lit(Long.MaxValue))).as("improved"))
         .localCheckpoint(true)
-      val newCount = merged.filter($"is_new").count()
+      // an improved row is still pending work: its disjoint re-scatter
+      // window [new_earliest, old_earliest) can taint genuinely new
+      // downstream nodes (events below the old taint time never fired),
+      // so the loop must also continue on zero-new-plus-improved rounds
+      val cnts = merged.agg(
+        count(when($"is_new", lit(1))).as("n_new"),
+        count(when($"improved", lit(1))).as("n_improved")).head()
+      val newCount = cnts.getLong(0)
+      val improvedCount = cnts.getLong(1)
       batches += newMsgs
       frontier = merged.filter($"is_new" || $"improved")
         .select($"vid", $"new_earliest".as("earliest"),
           when($"is_new", lit(null).cast("long")).otherwise($"old_earliest").as("prev"))
         .localCheckpoint(true)
       state = merged.select($"vid", $"new_earliest".as("earliest"))
-      done = newCount == 0
+      done = newCount == 0 && improvedCount == 0
     }
     events.unpersist()
     val hist = batches.reduce(_ union _)

@@ -183,19 +183,24 @@ object Dedup {
   }
 
   /** Near-dup candidate pairs by simhash hamming distance ≤ maxDist,
-    * blocked on `bands` disjoint (32/bands)-bit bands (Manku et al.,
-    * WWW'07 §3): a pair is a candidate iff SOME band is bit-identical, so
-    * by pigeonhole every pair with hamming distance < bands is found —
-    * the default 4 bands is COMPLETE for the default maxDist = 3 (the
-    * old single-high-16-bit block missed any pair whose flipped bits
-    * landed in the block). Block key = (band index, band value): one
-    * projection + posexplode, per-band equi-join, distinct. */
+    * blocked on disjoint (32/bands)-bit bands (Manku et al., WWW'07 §3):
+    * a pair is a candidate iff SOME band is bit-identical, so by
+    * pigeonhole every pair with hamming distance < bands is found.
+    * `bands` is a MINIMUM — when it does not cover maxDist the count is
+    * auto-widened to the smallest divisor of 32 that does (a caller
+    * asking maxDist = 4 with 4 bands would silently lose recall
+    * otherwise), so the blocking is always complete for the requested
+    * distance. Block key = (band index, band value): one projection +
+    * posexplode, per-band equi-join, distinct. */
   def simhashNearDups(sh: DataFrame, maxDist: Int = 3, idCol: String = "doc_id",
                       bands: Int = 4): DataFrame = {
     require(32 % bands == 0, s"bands must divide 32, got $bands")
-    val width = 32 / bands
+    require(maxDist >= 0 && maxDist < 32, s"maxDist must be in [0, 32), got $maxDist")
+    val effBands = Iterator(1, 2, 4, 8, 16, 32)
+      .find(b => b >= bands && b > maxDist).get
+    val width = 32 / effBands
     val mask = (1L << width) - 1
-    val bandCols = (0 until bands).map(b => shiftright(col("simhash"), b * width).bitwiseAND(mask))
+    val bandCols = (0 until effBands).map(b => shiftright(col("simhash"), b * width).bitwiseAND(mask))
     val blocked = sh.select(col(idCol), col("simhash"),
         posexplode(array(bandCols: _*)).as(Seq("band", "blk")))
     val l = blocked.select(col("band"), col("blk"), col(idCol).as("a"), col("simhash").as("ha"))

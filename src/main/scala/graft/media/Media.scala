@@ -131,18 +131,23 @@ object Media {
       } else if (b.length >= 10 && (ascii(b, 0, 6) == "GIF87a" || ascii(b, 0, 6) == "GIF89a"))
         Some((u16le(b, 6), u16le(b, 8), 0, 1))
       else if (b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE") {
-        var pos = 12
+        // pos walks in Long: size is an untrusted u32, and the old Int
+        // advance (8 + size.toInt + (size.toInt & 1)) truncated sizes near
+        // 2^32 to a zero/negative step — an infinite loop on a crafted
+        // payload. In Long the step is always >= 8, so the walk terminates.
+        var pos = 12L
         var rate = 0
         var blockAlign = 0
         var dataSize = 0L
         while (pos + 8 <= b.length) {
-          val id = ascii(b, pos, 4)
-          val size = u32le(b, pos + 4)
-          if (id == "fmt " && pos + 20 <= b.length) {
-            rate = u32le(b, pos + 12).toInt
-            blockAlign = if (pos + 22 <= b.length) u16le(b, pos + 20) else 0
+          val p = pos.toInt
+          val id = ascii(b, p, 4)
+          val size = u32le(b, p + 4)
+          if (id == "fmt " && p + 20 <= b.length) {
+            rate = u32le(b, p + 12).toInt
+            blockAlign = if (p + 22 <= b.length) u16le(b, p + 20) else 0
           } else if (id == "data") dataSize = size
-          pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+          pos += 8L + size + (size & 1L) // chunks are word-aligned
         }
         if (rate > 0) {
           val frames = if (blockAlign > 0) (dataSize / blockAlign).toInt else 0

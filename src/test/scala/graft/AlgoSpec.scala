@@ -142,6 +142,22 @@ class AlgoSpec extends AnyFunSuite {
     assert(got("6") == Seq()); assert(got("7") == Seq()); assert(got("8") == Seq())
   }
 
+  test("temporal reachability: improved taint with zero new nodes keeps spreading") {
+    // 1 --10--> 2, 1 --5--> 3, 3 --6--> 2, 2 --7--> 4.
+    // Round 1 taints 2@10 and 3@5; round 2 produces ZERO new nodes but
+    // improves 2's taint 10 -> 6 via 3; only the round-3 re-scatter of 2's
+    // disjoint window [6, 10) fires 2 --7--> 4. An exit on newCount==0
+    // alone stops after round 2 and never taints 4.
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 5L), (3L, 2L, 6L), (2L, 4L, 7L))
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    val got = Pathing.temporallyReachableNodes(g, 10L, 0L, Seq("1"))
+      .collect().map(r => r.getAs[String]("name") -> r.getSeq[String](r.fieldIndex("history")).toList).toMap
+    assert(got("1") == Seq("0:start"))
+    assert(got("2") == Seq("6:3", "10:1"))
+    assert(got("3") == Seq("5:1"))
+    assert(got("4") == Seq("7:2"))
+  }
+
   test("SCC: cycles collapse, dag nodes are singletons") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L), (5L, 6L))
       .map { case (s, d) => (s, d, 0L) }

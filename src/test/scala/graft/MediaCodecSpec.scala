@@ -58,6 +58,25 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(Media.HeaderCodec.decode("audio", wav) == ((0, 0, 44100, 2)))
   }
 
+  test("malformed WAV with a near-2^32 chunk size terminates (no executor spin)") {
+    // chunk size 0xFFFFFFF8: the old Int advance truncated it to a zero
+    // step and parse() never returned; the Long walk runs off the end and
+    // the fmt data already read still yields a result
+    val evil = "RIFF".getBytes ++ bytes(0x24, 0x00, 0x00, 0x00) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ bytes(
+      0xf8, 0xff, 0xff, 0xff, // chunk size 4294967288 (u32 LE)
+      0x01, 0x00, 0x02, 0x00,
+      0x44, 0xac, 0x00, 0x00, // 44100 Hz
+      0x10, 0xb1, 0x02, 0x00, 0x04, 0x00, 0x10, 0x00)
+    assert(Media.HeaderCodec.decode("audio", evil) == ((0, 0, 44100, 0)))
+    // and a size that overflows past the buffer mid-walk stops cleanly too
+    val evil2 = wav.clone()
+    evil2(40) = 0xff.toByte; evil2(41) = 0xff.toByte // data size -> huge
+    evil2(42) = 0xff.toByte; evil2(43) = 0x7f.toByte
+    val r2 = Media.HeaderCodec.decode("audio", evil2)
+    assert(r2._3 == 44100)
+  }
+
   test("unrecognised payloads fall back to the deterministic stub") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 5).toByte)
     assert(Media.HeaderCodec.decode("image", junk) == Media.StubCodec.decode("image", junk))

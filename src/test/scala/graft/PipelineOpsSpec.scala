@@ -60,11 +60,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = Dedup.simhashNearDups(sh, maxDist = 3).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Int]("dist")))
     assert(got.toSeq == Seq((1L, 2L, 3)))
-    // completeness boundary: 4 flips, one per band — every band dirty, so
-    // blocking (correctly, per the k < bands guarantee) yields no candidate
+    // completeness boundary: 4 flips, one per default 8-bit band — the
+    // requested maxDist = 4 exceeds the 4-band guarantee, so the band
+    // count auto-widens to 8 and the pair must still surface (the round-3
+    // behaviour silently dropped it)
     val c = a ^ 0x01010101L
     val sh2 = Seq((1L, a), (2L, c)).toDF("doc_id", "simhash")
-    assert(Dedup.simhashNearDups(sh2, maxDist = 4).collect().isEmpty)
+    val got4 = Dedup.simhashNearDups(sh2, maxDist = 4).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Int]("dist")))
+    assert(got4.toSeq == Seq((1L, 2L, 4)))
   }
 
   test("language id: en/de/fr marker heuristic") {

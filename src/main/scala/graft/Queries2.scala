@@ -75,7 +75,7 @@ object Queries2 {
     "g_sssp_dist" -> ((s, d) => {
       val g = graph(s, d)
       val srcName = g.nodes.agg(min(col("vid"))).head().getLong(0).toString
-      Pathing.sssp(g, srcName, cutoff = 30L)
+      Pathing.sssp(g, srcName, cutoff = 30L, withPaths = false)
         .select(col("vid").as("id"), col("dist"))
     }),
     "g_out_component" -> ((s, d) => {
@@ -129,21 +129,37 @@ object Queries2 {
       part.select(col("vid").as("id"), col("community"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"${Verify.AuxDir}/louvain_partition.parquet")
-      import s.implicits._
-      val rows = part.select($"vid", $"community").as[(Long, Long)].collect()
-      val q = graft.algo.Louvain.modularity(g, rows.toMap)
-      val nonMin = rows.groupBy(_._2).count { case (c, xs) => c != xs.map(_._1).min }
+      // consistency row computed DISTRIBUTED (aggregates + modularityDF):
+      // the partition itself came off the driver (Louvain local moves are
+      // sequential, DriverGuard-gated), but the check must not re-collect
+      val stats = part.agg(count(lit(1)).as("n_labeled"),
+        count_distinct(col("community")).as("n_communities")).head()
+      val nonMin = part.groupBy(col("community")).agg(min(col("vid")).as("mn"))
+        .filter(col("community") =!= col("mn")).count()
+      val q = graft.algo.Louvain.modularityDF(g, part)
       one(s,
         "n_nodes" -> lit(g.nodeCount),
-        "n_labeled" -> lit(rows.length.toLong),
-        "n_communities" -> lit(rows.map(_._2).distinct.length.toLong),
-        "non_min_labels" -> lit(nonMin.toLong),
+        "n_labeled" -> lit(stats.getLong(0)),
+        "n_communities" -> lit(stats.getLong(1)),
+        "non_min_labels" -> lit(nonMin),
         "modularity" -> round(lit(q), 6))
     }),
     "g_local_motifs" -> ((s, d) => { // exact per-node fixture in sbt test + SQL census oracle
       motifCensus(s, d)._2
         .select(col("vid").as("id"), posexplode(col("counts")).as(Seq("motif", "n")))
         .select(col("id"), col("motif").cast("long").as("motif"), col("n"))
+    }),
+    // temporal node property histories: latest value per node at the
+    // half-span timestamp via propertyAt (one hash aggregate) over a
+    // (vid, prop, ts, value) event log derived from orders
+    "g_node_prop_at" -> ((s, d) => {
+      val pe = Queries.orderEventsForTest(s, d)
+        .select(col("src").as("vid"), lit("totalprice").as("prop"),
+          col("ts"), col("weight").as("value"))
+      val g = graph(s, d).withNodePropEvents(pe)
+      val tHalf = pe.agg(max(col("ts"))).head().getLong(0) / 2
+      g.propertyAt("totalprice", tHalf)
+        .select(col("vid").as("id"), col("ts"), round(col("value"), 2).as("value"))
     }),
     "g_bipartite_projection" -> ((s, d) => {
       val g = graph(s, d)
@@ -198,8 +214,11 @@ object Queries2 {
           col("n"), col("sum_value"))),
     "s_rolling_activity" -> ((s, _) => // rolling() over crawl event-time
       StreamIngest.rollingActivity(tinyCrawl(s).edges, 30000L, 30000L)),
-    "m_media_features" -> ((s, d) => { // md5-metadata stub codec, oracled over aux media dump
-      Media.extractFeatures(Media.syntheticMedia(s, 200L)).toDF()
+    "m_media_features" -> ((s, d) => { // HeaderCodec: real header parse for the
+      // crafted rows (ids 1000+), deterministic md5 stub fallback for the
+      // synthetic rows — both driver-oracled over the aux media dump
+      val media = Media.syntheticMedia(s, 200L).unionByName(Media.craftedMedia(s))
+      Media.extractFeatures(media, Media.HeaderCodec).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
           col("height"), col("sample_rate"), col("n_frames"))
     }),
@@ -301,6 +320,15 @@ object Queries2 {
          |       (SELECT count(DISTINCT community) FROM part) AS n_communities,
          |       (SELECT count(*) FROM mins WHERE community <> mn) AS non_min_labels,
          |       (SELECT round(q, 6) FROM qv) AS modularity""".stripMargin,
+    // latest-at-t per node over the property event log: arg_max by ts
+    // (event times are unique: ts = o_orderkey), t = half the max ts
+    "g_node_prop_at" ->
+      """WITH pe AS (SELECT o_orderkey % 1009 AS vid, o_orderkey AS ts, o_totalprice AS value
+        |            FROM orders WHERE o_orderkey % 7 < 3),
+        |tt AS (SELECT max(ts) // 2 AS t FROM pe)
+        |SELECT vid AS id, CAST(max(ts) AS BIGINT) AS ts,
+        |       round(arg_max(value, ts), 2) AS value
+        |FROM pe WHERE ts <= (SELECT t FROM tt) GROUP BY vid""".stripMargin,
     "g_temporal_motifs" -> motifCensusSql(32L, local = false),
     "g_local_motifs" -> motifCensusSql(32L, local = true),
     // Brandes betweenness (first 50 sources, normalised) in recursive SQL:
@@ -473,12 +501,15 @@ object Queries2 {
          |comp AS (SELECT id, min(c) AS component FROM reach GROUP BY id)
          |SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
          |FROM comp GROUP BY component""".stripMargin,
-    // Stub-codec media metadata over the aux-dumped synthetic media table:
-    // the codec's metadata hash is md5(uppercase-hex(payload)) so DuckDB
-    // recomputes it exactly (media/Media.StubCodec.md5Meta).
+    // Media metadata over the aux-dumped table: synthetic rows (< 1000)
+    // recompute the stub codec's md5(uppercase-hex(payload)) formula
+    // (media/Media.StubCodec.md5Meta); crafted rows (>= 1000) carry REAL
+    // PNG/JPEG/GIF/WAV headers whose expected metadata ride as literals —
+    // equality proves the Spark side's HeaderCodec parsed the real bytes.
     "m_media_features" ->
       s"""WITH m AS (SELECT media_id, kind, payload
-         |           FROM read_parquet('${Verify.AuxDir}/media.parquet/*.parquet')),
+         |           FROM read_parquet('${Verify.AuxDir}/media.parquet/*.parquet')
+         |           WHERE media_id < 1000),
          |h AS (SELECT media_id, kind, octet_length(payload) AS n_bytes,
          |        CAST(('0x' || substr(md5(hex(payload)), 1, 15)) AS BIGINT) AS h
          |      FROM m)
@@ -494,7 +525,16 @@ object Queries2 {
          |  CAST(CASE kind WHEN 'image' THEN 1
          |                 WHEN 'audio' THEN 1 + ((h >> 36) & 255)
          |                 ELSE 1 + ((h >> 20) & 1023) END AS BIGINT) AS n_frames
-         |FROM h""".stripMargin,
+         |FROM h
+         |UNION ALL
+         |SELECT CAST(v.media_id AS BIGINT), v.kind, CAST(v.n_bytes AS BIGINT),
+         |  CAST(v.width AS BIGINT), CAST(v.height AS BIGINT),
+         |  CAST(v.sample_rate AS BIGINT), CAST(v.n_frames AS BIGINT)
+         |FROM (VALUES (1000, 'image', 24, 640, 480, 0, 1),
+         |             (1001, 'image', 18, 512, 256, 0, 1),
+         |             (1002, 'image', 10, 320, 200, 0, 1),
+         |             (1003, 'audio', 52, 0, 0, 44100, 2))
+         |  v(media_id, kind, n_bytes, width, height, sample_rate, n_frames)""".stripMargin,
     // Tumbling 30 s activity windows over the aux-dumped crawl events
     // (window width = step, epoch-aligned like Spark's window()).
     "s_rolling_activity" ->

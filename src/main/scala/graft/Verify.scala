@@ -16,7 +16,10 @@ object Verify {
       graft.graph.LinkGraph.fromPages(graft.io.Corpus.tiny(spark).toDF()).cache())
     g.edges.coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/crawl_edges.parquet")
     g.nodes.coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/crawl_nodes.parquet")
-    graft.media.Media.syntheticMedia(spark, 200L).coalesce(1)
+    // synthetic (stub-decoded) rows + crafted real-header rows (ids 1000+,
+    // HeaderCodec-decoded, literal expected values in the oracle SQL)
+    graft.media.Media.syntheticMedia(spark, 200L)
+      .unionByName(graft.media.Media.craftedMedia(spark)).coalesce(1)
       .write.mode("overwrite").parquet(s"$AuxDir/media.parquet")
   }
 

@@ -188,6 +188,42 @@ object Louvain {
     spark.createDataset(rows).toDF("vid", "name", "community")
   }
 
+  /** Distributed modularity: the same algebra as `modularity` (undirected
+    * collapsed pair weights; k(v) counts self-loops twice; Q = Σ_c
+    * intra_c/m − r·(k_c/2m)²) computed with DataFrame aggregates over a
+    * (vid, community) partition table — no driver collect of either the
+    * partition or the pair weights, so the consistency check scales with
+    * the graph even though the local-move phase itself is driver-bounded. */
+  def modularityDF(g: LinkGraph, part: DataFrame,
+                   weightCol: Option[String] = None, resolution: Double = 1.0): Double = {
+    import org.apache.spark.sql.functions._
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val pw = g.edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"), w.as("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mRow = pw.agg(sum(col("w"))).head()
+    if (mRow.isNullAt(0)) { pw.unpersist(); return 0.0 }
+    val m = mRow.getDouble(0)
+    val p = part.select(col("vid"), col("community"))
+    val k = pw.select(col("a").as("vid"),
+        when(col("a") === col("b"), col("w") * 2).otherwise(col("w")).as("kv"))
+      .union(pw.filter(col("a") =!= col("b")).select(col("b").as("vid"), col("w").as("kv")))
+      .groupBy(col("vid")).agg(sum(col("kv")).as("k"))
+    val kc = k.join(p, Seq("vid")).groupBy(col("community")).agg(sum(col("k")).as("kcom"))
+    val intra = pw
+      .join(p.select(col("vid").as("a"), col("community").as("ca")), Seq("a"))
+      .join(p.select(col("vid").as("b"), col("community").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(sum(col("w")).as("i"))
+    val q = kc.join(intra, Seq("community"), "left")
+      .agg(sum(coalesce(col("i"), lit(0.0)) / m
+        - lit(resolution) * pow(col("kcom") / (2 * m), 2)))
+      .head().getDouble(0)
+    pw.unpersist()
+    q
+  }
+
   /** Modularity Q of a (vid -> community) partition over the same collapsed
     * undirected weights — the quality assertion for fixtures. */
   def modularity(g: LinkGraph, partition: Map[Long, Long],

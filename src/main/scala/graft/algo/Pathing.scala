@@ -26,33 +26,31 @@ import graft.graph.LinkGraph
   */
 object Pathing {
 
-  /** Returns (vid, name, dist, path) for reached nodes only. */
-  def sssp(g: LinkGraph, source: String, cutoff: Long = Long.MaxValue): DataFrame = {
+  /** Returns (vid, name, dist, path) for reached nodes only.
+    *
+    * Superstep state is (vid, dist, parent) — O(1) per node, no name-path
+    * arrays shuffled per level — and the min-vid parent choice is a hash
+    * aggregate (`groupBy(b).agg(min(parent))`), not a row_number window,
+    * so no per-superstep SortExec (PlanSpec-locked). Paths materialise
+    * once at the end: level-by-level parent joins over the result set
+    * only (≤ depth joins total). */
+  def sssp(g: LinkGraph, source: String, cutoff: Long = Long.MaxValue,
+           withPaths: Boolean = true): DataFrame = {
     val spark = g.spark
     import spark.implicits._
+    graft.bsp.IterativeConf.withStablePartitioning(spark) {
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = g.undirectedPairs.repartition(p, $"a").persist(StorageLevel.MEMORY_AND_DISK)
     pairs.count()
     val src = g.nodes.filter($"name" === source)
-    var reached = src.select($"vid", lit(0L).as("dist"), array($"name").as("path"))
+    var reached = src.select($"vid", lit(0L).as("dist"), lit(null).cast("long").as("parent"))
       .localCheckpoint(true)
     var frontier = reached
     var level = 0L
     var done = frontier.isEmpty
     while (!done && level < cutoff) {
       level += 1
-      // candidate parents for unreached neighbours; min-vid parent wins
-      val cand = frontier.join(pairs, frontier("vid") === pairs("a"))
-        .select($"b", $"vid".as("parent"), $"path")
-        .join(reached.select($"vid".as("b")), Seq("b"), "left_anti")
-      val next = cand
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"b").orderBy(asc("parent"))))
-        .filter($"rn" === 1)
-        .join(g.nodes.select($"vid".as("b"), $"name".as("bname")), Seq("b"))
-        .select($"b".as("vid"), lit(level).as("dist"),
-          concat($"path", array($"bname")).as("path"))
-        .localCheckpoint(true)
+      val next = ssspStep(frontier, reached, pairs, level).localCheckpoint(true)
       done = next.isEmpty
       if (!done) {
         reached = reached.union(next).localCheckpoint(true)
@@ -60,8 +58,43 @@ object Pathing {
       }
     }
     pairs.unpersist()
-    reached.join(g.nodes, Seq("vid")).select($"vid", $"name", $"dist", $"path")
+    if (!withPaths) reached.join(g.nodes, Seq("vid")).select($"vid", $"name", $"dist")
+    else {
+      // path reconstruction: each reached node has exactly one (min-vid)
+      // parent, so dist-k paths = dist-(k-1) paths + own name
+      val named = reached.join(g.nodes, Seq("vid"))
+        .select($"vid", $"name", $"dist", $"parent").localCheckpoint(true)
+      val maxRow = named.agg(max($"dist")).head()
+      val maxDist = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+      var levelPaths = named.filter($"dist" === 0L).select($"vid", array($"name").as("path"))
+      var paths = levelPaths
+      var l = 1L
+      while (l <= maxDist) {
+        levelPaths = named.filter($"dist" === l)
+          .join(levelPaths.select($"vid".as("parent"), $"path".as("ppath")), Seq("parent"))
+          .select($"vid", concat($"ppath", array($"name")).as("path"))
+          .localCheckpoint(true)
+        paths = paths.union(levelPaths)
+        l += 1
+      }
+      named.join(paths, Seq("vid")).select($"vid", $"name", $"dist", $"path")
+    }
+    }
   }
+
+  /** One BFS superstep: unreached neighbours of the frontier with their
+    * min-vid parent. The frontier/reached sides are post-checkpoint
+    * (unknown stats), so without hints the optimizer falls to SMJ and
+    * re-sorts the cached `pairs` table every level — shuffle_hash keeps
+    * the big side's hash partitioning reusable (PlanSpec-locked: no
+    * per-superstep SortExec/WindowExec). */
+  private[graft] def ssspStep(frontier: DataFrame, reached: DataFrame,
+                              pairs: DataFrame, level: Long): DataFrame =
+    frontier.hint("shuffle_hash").join(pairs, frontier("vid") === pairs("a"))
+      .select(col("b"), frontier("vid").as("parent"))
+      .join(reached.select(col("vid").as("b")).hint("shuffle_hash"), Seq("b"), "left_anti")
+      .groupBy(col("b")).agg(min(col("parent")).as("parent"))
+      .select(col("b").as("vid"), lit(level).as("dist"), col("parent"))
 
   /** Driver-side Dijkstra. direction: "out" | "in" | "both". Returns
     * (target, cost, path). Weight column defaults to 1.0 per event. */
@@ -123,6 +156,7 @@ object Pathing {
                                seeds: Seq[String], stops: Seq[String] = Seq.empty): DataFrame = {
     val spark = g.spark
     import spark.implicits._
+    graft.bsp.IterativeConf.withStablePartitioning(spark) {
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // exploded out-edge events (multi-edges each count)
     val events = g.edges.select($"src", $"dst", $"ts")
@@ -152,11 +186,7 @@ object Pathing {
     val bStops = stopVids
     while (!done && step < maxHops) {
       step += 1
-      val scatter = frontier.filter(!$"vid".isin(bStops.toSeq: _*))
-        .join(events, frontier("vid") === events("src"))
-        .filter($"ts" >= $"earliest" && ($"prev".isNull || $"ts" < $"prev"))
-        .join(g.nodes.select($"vid".as("src"), $"name".as("src_name")), Seq("src"))
-        .select($"dst".as("vid"), $"ts".as("t"), $"src_name")
+      val scatter = reachScatter(frontier, events, g.nodes, bStops.toSeq)
       // distinct within the batch only (parallel same-ts events); disjoint
       // windows already guarantee no duplicate across batches
       val newMsgs = scatter.distinct().localCheckpoint(true)
@@ -195,5 +225,20 @@ object Pathing {
     g.nodes.join(hist, Seq("vid"), "left")
       .select($"vid", $"name",
         coalesce($"history", array().cast("array<string>")).as("history"))
+    }
   }
+
+  /** One taint superstep's scatter: the frontier's out-edge events inside
+    * each node's disjoint window [earliest, prev), labelled with the
+    * tainting node's name. Frontier is post-checkpoint (unknown stats) —
+    * shuffle_hash keeps the persisted events table's hash partitioning
+    * reusable instead of an SMJ re-sort per step (PlanSpec-locked). */
+  private[graft] def reachScatter(frontier: DataFrame, events: DataFrame,
+                                  nodes: DataFrame, stops: Seq[Long]): DataFrame =
+    frontier.filter(!col("vid").isin(stops: _*)).hint("shuffle_hash")
+      .join(events, frontier("vid") === events("src"))
+      .filter(col("ts") >= col("earliest") && (col("prev").isNull || col("ts") < col("prev")))
+      .join(nodes.select(col("vid").as("src"), col("name").as("src_name"))
+        .hint("shuffle_hash"), Seq("src"))
+      .select(col("dst").as("vid"), col("ts").as("t"), col("src_name"))
 }

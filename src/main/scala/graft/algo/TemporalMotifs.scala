@@ -19,53 +19,94 @@ import graft.algo.motifs.Counters.{IN, OUT}
   *   [32..39] the 8 delta-temporal triangle motifs.
   *
   * Counter algebra lives in motifs.Counters. Spark shape: star/two-node
-  * counters run inside `groupByKey(node).mapGroups` over each node's
-  * incident event list (O(events) sliding windows); triangle counters run
-  * per triangle discovered by a wedge join over the 2-core, with the
-  * triangle's 6 directed event streams assembled by an unordered-pair
-  * join. Both stages are embarrassingly parallel; nothing touches the
-  * driver but the 40-slot reduce (global) / per-node sum (local).
+  * counters STREAM over each node's incident events after a spillable
+  * external sort (repartition + sortWithinPartitions + mapPartitions),
+  * holding only the delta window — hub-degree-independent task memory;
+  * triangle counters run per triangle discovered by a wedge join over the
+  * 2-core, with the triangle's 6 directed event streams assembled by an
+  * unordered-pair join. Both stages are embarrassingly parallel; nothing
+  * touches the driver but the 40-slot reduce (global) / per-node sum
+  * (local).
   */
 object TemporalMotifs {
 
   // ---- per-node star + two-node pass --------------------------------------
 
+  /** Process a sorted iterator as consecutive key runs. `process` MUST
+    * fully consume (or at least not outlive) each run's sub-iterator; any
+    * undrained remainder is skipped before the next run starts. */
+  private def runs[T, K, R](it: Iterator[T])(key: T => K)(process: (K, Iterator[T]) => R): Iterator[R] =
+    new Iterator[R] {
+      private val b = it.buffered
+      def hasNext: Boolean = b.hasNext
+      def next(): R = {
+        val k = key(b.head)
+        val group: Iterator[T] = new Iterator[T] {
+          def hasNext: Boolean = b.hasNext && key(b.head) == k
+          def next(): T = b.next()
+        }
+        val r = process(k, group)
+        while (group.hasNext) group.next()
+        r
+      }
+    }
+
   /** Raw per-node counts: (vid, star24 two-node-subtracted ++ two8).
-    * Shared by the global census (sum) and the local variant (as-is). */
+    * Shared by the global census (sum) and the local variant (as-is).
+    *
+    * Hub-safe shape: both passes repartition + externally sort (Spark's
+    * spillable sort), then STREAM each run through a windowed counter —
+    * task memory is O(delta-window + distinct neighbours), never O(node
+    * events), so a web hub with 10⁷⁺ incident events cannot OOM a task
+    * (the old groupByKey + toArray materialised the whole stream). The
+    * two-node pass keys by (node, nb) — per-pair streams — and map-side
+    * reduces the 8-vectors per node. */
   private def starTwoNodeByNode(g: LinkGraph, delta: Long) = {
     val spark = g.spark
     import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // (node, nb, dir, ts, seq) for non-self exploded events
     val ev = g.edges.filter($"src" =!= $"dst")
       .select($"src".as("node"), $"dst".as("nb"), lit(OUT).as("dir"), $"ts", $"seq")
       .union(g.edges.filter($"src" =!= $"dst")
         .select($"dst".as("node"), $"src".as("nb"), lit(IN).as("dir"), $"ts", $"seq"))
+    val starRaw = ev.repartition(p, $"node")
+      .sortWithinPartitions($"node", $"ts", $"seq")
       .as[(Long, Long, Int, Long, Long)]
-    ev.groupByKey(_._1).mapGroups { (node, it) =>
-      val events = it.toArray.sortBy(e => (e._4, e._5)) // (ts, seq) order
-      // dense neighbour index in first-appearance order
-      val nbIndex = scala.collection.mutable.HashMap.empty[Long, Int]
-      events.foreach(e => nbIndex.getOrElseUpdate(e._2, nbIndex.size))
-      val nbs = events.map(e => nbIndex(e._2))
-      val dirs = events.map(_._3)
-      val times = events.map(_._4)
-      // two-node counts: one PairCounter per neighbour event stream
-      val two = new Array[Long](8)
-      events.groupBy(_._2).foreach { case (_, es) =>
-        val c = new Counters.PairCounter
-        c.run(es.map(_._3), es.map(_._4), delta)
-        var i = 0
-        while (i < 8) { two(i) += c.counts(i); i += 1 }
+      .mapPartitions { it =>
+        runs(it)(_._1) { (node, es) =>
+          val sc = new Counters.StreamingStarCounter(delta)
+          sc.run(es.map(e => (e._2, e._3, e._4)))
+          (node, sc.counts24)
+        }
       }
-      val sc = new Counters.StarCounter(nbIndex.size, nbs, dirs)
-      sc.sweep(times, delta)
-      val star = sc.counts24
-      val out = new Array[Long](32)
-      var i = 0
-      while (i < 24) { out(i) = star(i) - two(i % 8); i += 1 }
-      while (i < 32) { out(i) = two(i - 24); i += 1 }
-      (node, out)
-    }
+    val twoRaw = ev.repartition(p, $"node", $"nb")
+      .sortWithinPartitions($"node", $"nb", $"ts", $"seq")
+      .as[(Long, Long, Int, Long, Long)]
+      .mapPartitions { it =>
+        runs(it)(e => (e._1, e._2)) { (key, es) =>
+          val pc = new Counters.StreamingPairCounter(delta)
+          es.foreach(e => pc.push(e._3, e._4))
+          (key._1, pc.counts)
+        }
+      }
+      .groupByKey(_._1)
+      .reduceGroups { (a: (Long, Array[Long]), b: (Long, Array[Long])) =>
+        val r = new Array[Long](8)
+        var i = 0
+        while (i < 8) { r(i) = a._2(i) + b._2(i); i += 1 }
+        (a._1, r)
+      }
+      .map { case (node, (_, two)) => (node, two) }
+    starRaw.toDF("node", "star").join(twoRaw.toDF("node", "two"), Seq("node"))
+      .as[(Long, Array[Long], Array[Long])]
+      .map { case (node, star, two) =>
+        val out = new Array[Long](32)
+        var i = 0
+        while (i < 24) { out(i) = star(i) - two(i % 8); i += 1 }
+        while (i < 32) { out(i) = two(i - 24); i += 1 }
+        (node, out)
+      }
   }
 
   // ---- per-triangle pass --------------------------------------------------
@@ -143,7 +184,10 @@ object TemporalMotifs {
     * global star/two-node slots = Σ of the per-node rows. Callers that
     * need both (the driver runs the global and the local census over the
     * same graph and delta) pay for one pass instead of two. */
-  def census(g: LinkGraph, delta: Long): (Array[Long], DataFrame) = {
+  def census(g: LinkGraph, delta: Long): (Array[Long], DataFrame) =
+    censusImpl(g, delta, needLocal = true)
+
+  private def censusImpl(g: LinkGraph, delta: Long, needLocal: Boolean): (Array[Long], DataFrame) = {
     val spark = g.spark
     import spark.implicits._
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -155,6 +199,19 @@ object TemporalMotifs {
     }
     val starTwoByNode = starTwoNodeByNode(g, delta).persist(sl)
     val (cached, triEv) = triangleEvents(g)
+    if (!needLocal) {
+      // global-only: count each triangle from the single mid perspective
+      // the global census uses, skip the per-node join + checkpoint
+      val midCounts = triEv.groupByKey(t => (t._1, t._2, t._3)).mapGroups { (key, it) =>
+        val (lo, mid, hi) = key
+        val events = it.map(e => (e._4, e._5, e._6, e._7)).toArray.sortBy(e => (e._3, e._4))
+        countTriangle(events, mid, lo, hi, delta)
+      }
+      val starTwo = starTwoByNode.map(_._2).rdd.fold(new Array[Long](32))(sumSlices(32))
+      val tri = midCounts.rdd.fold(new Array[Long](8))(sumSlices(8))
+      starTwoByNode.unpersist(); cached.foreach(_.unpersist())
+      return (starTwo ++ tri, null)
+    }
     // all three member perspectives per triangle; isMid marks the one the
     // global census counts
     val triPerMember = triEv.groupByKey(t => (t._1, t._2, t._3)).flatMapGroups { (key, it) =>
@@ -187,19 +244,17 @@ object TemporalMotifs {
       .select($"vid", $"name",
         concat(coalesce($"star_two", zeros32), coalesce($"tri", zeros8)).as("counts"))
       .localCheckpoint(true)
-    val starTwo =
-      if (starTwoByNode.isEmpty) new Array[Long](32)
-      else starTwoByNode.map(_._2).reduce(sumSlices(32) _)
-    val midRows = triPerMember.filter(_._3).map(_._2)
-    val tri =
-      if (midRows.isEmpty) new Array[Long](8)
-      else midRows.reduce(sumSlices(8) _)
+    val starTwo = starTwoByNode.map(_._2).rdd.fold(new Array[Long](32))(sumSlices(32))
+    val tri = triPerMember.filter(_._3).map(_._2).rdd.fold(new Array[Long](8))(sumSlices(8))
     starTwoByNode.unpersist(); triPerMember.unpersist(); cached.foreach(_.unpersist())
     (starTwo ++ tri, local)
   }
 
-  /** The 40-element global census for one delta. */
-  def globalCounts(g: LinkGraph, delta: Long): Array[Long] = census(g, delta)._1
+  /** The 40-element global census for one delta — skips the per-node
+    * join/checkpoint the local table needs (callers wanting both should
+    * use `census`, which shares one enumeration). */
+  def globalCounts(g: LinkGraph, delta: Long): Array[Long] =
+    censusImpl(g, delta, needLocal = false)._1
 
   /** Per-node 40-element counts: every node of the graph gets a row
     * (vid, name, counts[40]). */

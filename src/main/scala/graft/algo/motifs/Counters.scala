@@ -157,6 +157,182 @@ object Counters {
     def counts24: Array[Long] = countPre ++ countMid ++ countPost
   }
 
+  /** Streaming two-node counter: PairCounter's algebra fed event-at-a-time
+    * (same (ts, seq) order), holding only the delta window in a ring
+    * buffer — O(window) memory instead of the whole pair stream. */
+  final class StreamingPairCounter(delta: Long) {
+    private val c1 = new Array[Long](2)
+    private val c2 = new Array[Long](4)
+    val counts = new Array[Long](8)
+    private var ringDir = new Array[Int](16)
+    private var ringTs = new Array[Long](16)
+    private var head = 0
+    private var size = 0
+
+    private def grow(): Unit = {
+      val nd = new Array[Int](ringDir.length * 2)
+      val nt = new Array[Long](ringTs.length * 2)
+      var i = 0
+      while (i < size) {
+        val s = (head + i) % ringDir.length
+        nd(i) = ringDir(s); nt(i) = ringTs(s); i += 1
+      }
+      ringDir = nd; ringTs = nt; head = 0
+    }
+
+    def push(dir: Int, ts: Long): Unit = {
+      while (size > 0 && ringTs(head) + delta < ts) {
+        val d = ringDir(head)
+        c1(d) -= 1
+        c2(pair(d, IN)) -= c1(IN)
+        c2(pair(d, OUT)) -= c1(OUT)
+        head = (head + 1) % ringDir.length; size -= 1
+      }
+      var d1 = 0
+      while (d1 < 2) {
+        var d2 = 0
+        while (d2 < 2) {
+          counts(triple(d1, d2, dir)) += c2(pair(d1, d2))
+          d2 += 1
+        }
+        d1 += 1
+      }
+      c2(pair(IN, dir)) += c1(IN)
+      c2(pair(OUT, dir)) += c1(OUT)
+      c1(dir) += 1
+      if (size == ringDir.length) grow()
+      val slot = (head + size) % ringDir.length
+      ringDir(slot) = dir; ringTs(slot) = ts; size += 1
+    }
+  }
+
+  /** Streaming star counter: StarCounter's algebra over an event iterator,
+    * holding only the ±delta window in a ring buffer and growing the
+    * per-neighbour occupancy arrays as neighbours first appear — memory is
+    * O(in-window events + distinct neighbours), never O(stream), so a
+    * web-hub's 10⁷⁺ incident events stream through one pass instead of
+    * materialising as an array in a single task. Neighbour ids arrive raw
+    * (Long); the dense index is assigned on first sight, which matches the
+    * array-based counter's first-appearance indexing. */
+  final class StreamingStarCounter(delta: Long) {
+    private val preSum = new Array[Long](8)
+    private val midSum = new Array[Long](8)
+    private val postSum = new Array[Long](8)
+    val countPre = new Array[Long](8)
+    val countMid = new Array[Long](8)
+    val countPost = new Array[Long](8)
+
+    private val nbIndex = new java.util.HashMap[Long, Int]()
+    private var preNodes = new Array[Long](32)  // (nbIdx*2 + dir)
+    private var postNodes = new Array[Long](32)
+
+    private def idx(nb: Long): Int = {
+      var i = nbIndex.getOrDefault(nb, -1)
+      if (i < 0) {
+        i = nbIndex.size()
+        nbIndex.put(nb, i)
+        if (2 * i + 1 >= preNodes.length) {
+          preNodes = java.util.Arrays.copyOf(preNodes, preNodes.length * 2)
+          postNodes = java.util.Arrays.copyOf(postNodes, postNodes.length * 2)
+        }
+      }
+      i
+    }
+
+    // window ring buffer over [start, end) global event positions
+    private var ringNb = new Array[Int](64)
+    private var ringDir = new Array[Int](64)
+    private var ringTs = new Array[Long](64)
+    private var head = 0      // slot of global position `start`
+    private var size = 0      // end - start
+    private var jOff = 0      // j - start (current position within buffer)
+
+    private def grow(): Unit = {
+      val n = ringNb.length * 2
+      val nn = new Array[Int](n); val nd = new Array[Int](n); val nt = new Array[Long](n)
+      var i = 0
+      while (i < size) {
+        val s = (head + i) % ringNb.length
+        nn(i) = ringNb(s); nd(i) = ringDir(s); nt(i) = ringTs(s); i += 1
+      }
+      ringNb = nn; ringDir = nd; ringTs = nt; head = 0
+    }
+
+    private def expirePre(nb: Int, d: Int): Unit = {
+      preNodes(2 * nb + d) -= 1
+      preSum(pair(d, IN)) -= preNodes(2 * nb + IN)
+      preSum(pair(d, OUT)) -= preNodes(2 * nb + OUT)
+    }
+    private def admitPost(nb: Int, d: Int): Unit = {
+      postSum(pair(IN, d)) += postNodes(2 * nb + IN)
+      postSum(pair(OUT, d)) += postNodes(2 * nb + OUT)
+      postNodes(2 * nb + d) += 1
+    }
+    private def retireFromPost(nb: Int, d: Int): Unit = {
+      postNodes(2 * nb + d) -= 1
+      postSum(pair(d, IN)) -= postNodes(2 * nb + IN)
+      postSum(pair(d, OUT)) -= postNodes(2 * nb + OUT)
+    }
+    private def countCurrent(nb: Int, dir: Int): Unit = {
+      midSum(pair(IN, dir)) -= preNodes(2 * nb + IN)
+      midSum(pair(OUT, dir)) -= preNodes(2 * nb + OUT)
+      var d1 = 0
+      while (d1 < 2) {
+        var d2 = 0
+        while (d2 < 2) {
+          countPre(triple(d1, d2, dir)) += preSum(pair(d1, d2))
+          countPost(triple(dir, d1, d2)) += postSum(pair(d1, d2))
+          countMid(triple(d1, dir, d2)) += midSum(pair(d1, d2))
+          d2 += 1
+        }
+        d1 += 1
+      }
+      midSum(pair(dir, IN)) += postNodes(2 * nb + IN)
+      midSum(pair(dir, OUT)) += postNodes(2 * nb + OUT)
+    }
+    private def admitPre(nb: Int, d: Int): Unit = {
+      preSum(pair(IN, d)) += preNodes(2 * nb + IN)
+      preSum(pair(OUT, d)) += preNodes(2 * nb + OUT)
+      preNodes(2 * nb + d) += 1
+    }
+
+    /** Consume the node's full incident event stream in (ts, seq) order:
+      * (neighbour, dir, ts). One pass, identical hook order to
+      * DeltaSweep.sweep over the equivalent arrays. */
+    def run(events: Iterator[(Long, Int, Long)]): Unit = {
+      val it = events.buffered
+      while (jOff < size || it.hasNext) {
+        // the j-th event: already buffered, or the next input (end == j)
+        val tsJ =
+          if (jOff < size) ringTs((head + jOff) % ringTs.length)
+          else it.head._3
+        // expire pre-window events older than tsJ - delta (start <= j always)
+        while (jOff > 0 && ringTs(head) + delta < tsJ) {
+          expirePre(ringNb(head), ringDir(head))
+          head = (head + 1) % ringNb.length; size -= 1; jOff -= 1
+        }
+        // admit post-window events with ts <= tsJ + delta (incl. j itself)
+        while (it.hasNext && it.head._3 <= tsJ + delta) {
+          val (nbRaw, d, t) = it.next()
+          val nb = idx(nbRaw)
+          admitPost(nb, d)
+          if (size == ringNb.length) grow()
+          val slot = (head + size) % ringNb.length
+          ringNb(slot) = nb; ringDir(slot) = d; ringTs(slot) = t; size += 1
+        }
+        val js = (head + jOff) % ringNb.length
+        val nbJ = ringNb(js); val dirJ = ringDir(js)
+        retireFromPost(nbJ, dirJ)
+        countCurrent(nbJ, dirJ)
+        admitPre(nbJ, dirJ)
+        jOff += 1
+      }
+    }
+
+    /** 24 raw star counts in reference layout order: PRE ++ MID ++ POST. */
+    def counts24: Array[Long] = countPre ++ countMid ++ countPost
+  }
+
   /** Triangle motif counter, paper §3.4, for ONE triangle's merged event
     * stream. Events are encoded relative to a designated base pair (u, v)
     * and third node w: `onBase(i)` marks u↔v events; for w events,

@@ -25,17 +25,23 @@ import graft.io.{EdgeEvent, Ingest}
 class LinkGraph(
     val edges: DataFrame,            // src: Long, dst: Long, ts: Long, seq: Long, layer: String
     val nodes: DataFrame,            // vid: Long, name: String
-    val namesAreNumeric: Boolean = false) extends Serializable {
+    val namesAreNumeric: Boolean = false,
+    // timestamped node property events (vid, prop, ts, value) — the
+    // reference's temporal property system (core/mod.rs:78-96)
+    val nodePropEvents: Option[DataFrame] = None) extends Serializable {
 
   def spark: SparkSession = edges.sparkSession
 
   // ---- view algebra (SURVEY §1.5) ----------------------------------------
 
   /** Events with start <= ts < end; nodes restricted to active endpoints
-    * (db/api/view/time.rs:115 — inclusive start, exclusive end). */
+    * (db/api/view/time.rs:115 — inclusive start, exclusive end). Temporal
+    * node property events are windowed by the same bounds (the reference's
+    * window views restrict property histories too,
+    * db/graph/views/window_graph.rs:76-120). */
   def window(start: Long, end: Long): LinkGraph = {
     val e = edges.filter(col("ts") >= start && col("ts") < end)
-    induced(e)
+    induced(e, nodePropEvents.map(_.filter(col("ts") >= start && col("ts") < end)))
   }
 
   def before(t: Long): LinkGraph = window(Long.MinValue, t)
@@ -45,7 +51,8 @@ class LinkGraph(
   /** Restrict to named layers (db/api/view/layer.rs:12-37). Nodes keep the
     * full set (layer views filter edges only in the reference). */
   def layers(names: Seq[String]): LinkGraph =
-    new LinkGraph(edges.filter(col("layer").isin(names: _*)), nodes, namesAreNumeric)
+    new LinkGraph(edges.filter(col("layer").isin(names: _*)), nodes, namesAreNumeric,
+      nodePropEvents)
 
   /** Default node type for nodes never explicitly typed
     * (raphtory-api/src/core/entities/mod.rs — the reference's `_default`). */
@@ -58,7 +65,7 @@ class LinkGraph(
     val t = types.select(col("vid"), col("node_type"))
     val typed = nodes.drop("node_type").join(t, Seq("vid"), "left")
       .withColumn("node_type", coalesce(col("node_type"), lit(DefaultNodeType)))
-    new LinkGraph(edges, typed, namesAreNumeric)
+    new LinkGraph(edges, typed, namesAreNumeric, nodePropEvents)
   }
 
   /** Attach arbitrary node property columns from a table keyed by `vid`
@@ -68,8 +75,43 @@ class LinkGraph(
     * predicates like every other property. */
   def withNodeProps(props: DataFrame): LinkGraph = {
     val key = if (props.columns.contains("vid")) "vid" else "name"
-    new LinkGraph(edges, nodes.join(props, Seq(key), "left"), namesAreNumeric)
+    new LinkGraph(edges, nodes.join(props, Seq(key), "left"), namesAreNumeric, nodePropEvents)
   }
+
+  // ---- temporal node properties (core/mod.rs:78-96) -----------------------
+
+  /** Attach a timestamped node property EVENT log (vid, prop, ts, value):
+    * the reference's temporal property system, where every property keeps
+    * a per-entity history readable with `history()/at(t)/latest()`
+    * (db/api/view/node.rs:96-109). Static columns (withNodeProps) stay the
+    * fit for immutable attributes; this is for values that change. */
+  def withNodePropEvents(events: DataFrame): LinkGraph =
+    new LinkGraph(edges, nodes, namesAreNumeric,
+      Some(events.select(col("vid"), col("prop"), col("ts"), col("value"))))
+
+  private def propEventsOrEmpty: DataFrame = nodePropEvents.getOrElse {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vid", LongType), StructField("prop", StringType),
+        StructField("ts", LongType), StructField("value", DoubleType))))
+  }
+
+  /** Full timestamped history of one property: (vid, ts, value), view-
+    * windowed like edges (node.rs:96-103 `properties().temporal().get(p)
+    * .history()`). */
+  def propertyHistory(prop: String): DataFrame =
+    propEventsOrEmpty.filter(col("prop") === prop).select(col("vid"), col("ts"), col("value"))
+
+  /** Latest value of `prop` per node at time t (events with ts <= t;
+    * node.rs:104-109 `.at(t)`): (vid, ts, value) — one hash aggregate,
+    * no window/sort. Nodes with no event by t are absent. */
+  def propertyAt(prop: String, t: Long): DataFrame =
+    propertyHistory(prop).filter(col("ts") <= t)
+      .groupBy(col("vid"))
+      .agg(max(col("ts")).as("ts"), max_by(col("value"), col("ts")).as("value"))
+
+  /** Latest value per node over the whole view (`.latest()`). */
+  def propertyLatest(prop: String): DataFrame = propertyAt(prop, Long.MaxValue)
 
   /** Induced subgraph of the nodes whose type is in `types` — the
     * reference's subgraph_node_types
@@ -90,13 +132,15 @@ class LinkGraph(
     val e = edges
       .join(v.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
       .join(v.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
-    new LinkGraph(e, nodes.join(v, Seq("vid"), "left_semi"), namesAreNumeric)
+    new LinkGraph(e, nodes.join(v, Seq("vid"), "left_semi"), namesAreNumeric,
+      nodePropEvents.map(_.join(v, Seq("vid"), "left_semi")))
   }
 
-  private def induced(e: DataFrame): LinkGraph = {
+  private def induced(e: DataFrame,
+                      props: Option[DataFrame] = nodePropEvents): LinkGraph = {
     val active = e.select(col("src").as("vid"))
       .union(e.select(col("dst").as("vid"))).distinct()
-    new LinkGraph(e, nodes.join(active, Seq("vid"), "left_semi"), namesAreNumeric)
+    new LinkGraph(e, nodes.join(active, Seq("vid"), "left_semi"), namesAreNumeric, props)
   }
 
   /** Rolling windowed views: [start, start+window), stepping by `step`,
@@ -140,7 +184,9 @@ class LinkGraph(
       .join(remap.select(col("old_vid").as("src"), col("new_vid").as("src2")), Seq("src"))
       .join(remap.select(col("old_vid").as("dst"), col("new_vid").as("dst2")), Seq("dst"))
       .select(col("src2").as("src"), col("dst2").as("dst"), col("ts"), col("seq"), col("layer"))
-    new LinkGraph(newEdges, newNodes, namesAreNumeric)
+    val newProps = nodePropEvents.map(_.join(remap, col("vid") === col("old_vid"))
+      .select(col("new_vid").as("vid"), col("prop"), col("ts"), col("value")))
+    new LinkGraph(newEdges, newNodes, namesAreNumeric, newProps)
   }
 
   // ---- core accessors ----------------------------------------------------

@@ -207,6 +207,30 @@ object Media {
       .toDF("media_id", "width", "height", "target_width", "target_height")
   }
 
+  /** Crafted REAL-header rows (media_id 1000..1003): minimal valid
+    * PNG/JPEG/GIF/WAV payloads with known metadata, appended to the aux
+    * media dump so the driver oracle exercises HeaderCodec on real bytes
+    * (expected values ride as literals in the oracle SQL):
+    *
+    *   1000 image PNG  24 B  640×480      1001 image JPEG 18 B 512×256
+    *   1002 image GIF  10 B  320×200      1003 audio WAV  52 B 44100 Hz, 2 frames
+    */
+  def craftedMedia(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 0x0d) ++
+      "IHDR".getBytes("US-ASCII") ++ b(0, 0, 2, 0x80, 0, 0, 1, 0xe0)
+    val jpeg = b(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0x00, 0x02, 0x00, 0x03)
+    val gif = "GIF89a".getBytes("US-ASCII") ++ b(0x40, 0x01, 0xc8, 0x00)
+    val wav = "RIFF".getBytes("US-ASCII") ++ b(0x24, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+      b(0x10, 0, 0, 0, 0x01, 0, 0x02, 0, 0x44, 0xac, 0, 0, 0x10, 0xb1, 0x02, 0, 0x04, 0, 0x10, 0) ++
+      "data".getBytes("US-ASCII") ++ b(0x08, 0, 0, 0) ++ Array.fill[Byte](8)(0)
+    Seq((1000L, "image", png), (1001L, "image", jpeg), (1002L, "image", gif),
+      (1003L, "audio", wav)).toDF("media_id", "kind", "payload")
+  }
+
   /** Deterministic synthetic media table for tests/benchmarks: payload
     * bytes derive from (seed, id); kind cycles image/audio/video. */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long, seed: Long = 42L): DataFrame = {

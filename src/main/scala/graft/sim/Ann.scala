@@ -77,14 +77,22 @@ object Ann {
     * per vector, one row per (id, table, bucket). Plane (t, p) uses the
     * global plane index t·planes + p, so tables = 1 reproduces the
     * single-table weights exactly. Still a pure projection + one narrow
-    * explode — no shuffle. */
+    * explode — no shuffle.
+    *
+    * The plane matrix ships as ONE array-of-arrays literal indexed with
+    * element_at (constant-folded to one ArrayData constant per plane) —
+    * NOT per-element `lit` expressions, which at 768 dims × 64 planes
+    * would inline ~50k literal nodes into a single projection and blow
+    * up codegen/analysis time. */
   def lshTableBuckets(emb: DataFrame, planes: Int, tables: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val dims = vecDims(emb, vecCol)
+    val planeMat = typedlit(
+      Array.tabulate(tables * planes, dims)((gp, d) => planeWeight(gp, d)))
     val bucketCols = (0 until tables).map { t =>
       (0 until planes).map { p =>
-        val pv = array((0 until dims).map(d => lit(planeWeight(t * planes + p, d))): _*)
+        val pv = element_at(planeMat, t * planes + p + 1)
         when(dot(toD(col(vecCol)), pv) >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     }

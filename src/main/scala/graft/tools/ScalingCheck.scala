@@ -7,7 +7,19 @@ import graft.algo.PageRank
 /** Measure DF-path PageRank throughput at two core counts. */
 object ScalingCheck {
   def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder().master(s"local[$cores]")
+    // SCALE_CLUSTER=1: `cores` total cores as SEPARATE executor JVMs
+    // (local-cluster[workers, coresPerWorker, memMB]) — a closer analogue
+    // of N -> 4N executors than threads in one JVM: per-executor heaps and
+    // GC isolate, though the machine's one memory system remains shared.
+    // Run via spark-submit (it ships the app jar and SPARK_HOME to the
+    // worker-spawned executor processes); see BASELINE.md for the command.
+    val cpw = sys.env.getOrElse("SCALE_CLUSTER_CORES_PER_WORKER", "2").toInt
+    val memMb = sys.env.getOrElse("SCALE_CLUSTER_MEM_MB", "3072").toInt
+    val cluster = sys.env.getOrElse("SCALE_CLUSTER", "0") == "1"
+    val master =
+      if (cluster) s"local-cluster[${math.max(1, cores / cpw)},$cpw,$memMb]"
+      else s"local[$cores]"
+    val b = SparkSession.builder().master(master)
       .appName(s"scale-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -19,8 +31,9 @@ object ScalingCheck {
       // allocation; keeping it out of the GC'd heap stabilises the
       // high-core legs (SCALE_OFFHEAP=0 disables)
       .config("spark.memory.offHeap.enabled",
-        (sys.env.getOrElse("SCALE_OFFHEAP", "1") == "1").toString)
+        (sys.env.getOrElse("SCALE_OFFHEAP", if (cluster) "0" else "1") == "1").toString)
       .config("spark.memory.offHeap.size", sys.env.getOrElse("SCALE_OFFHEAP_SIZE", "16g"))
+    val s = (if (cluster) b.config("spark.executor.memory", s"${memMb - 512}m") else b)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

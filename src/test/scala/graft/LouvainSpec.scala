@@ -53,5 +53,8 @@ class LouvainSpec extends AnyFunSuite {
     val qAllOne = Louvain.modularity(g, com.keys.map(_ -> 0L).toMap)
     val qSingletons = Louvain.modularity(g, com.keys.map(v => v -> v).toMap)
     assert(q > qAllOne && q > qSingletons && q > 0.4, s"Q=$q")
+    // the distributed formulation computes the same Q (driver query path)
+    val qDf = Louvain.modularityDF(g, res.select("vid", "community"))
+    assert(math.abs(qDf - q) < 1e-9, s"modularityDF $qDf != modularity $q")
   }
 }

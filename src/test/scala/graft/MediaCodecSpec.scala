@@ -83,6 +83,19 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(Media.HeaderCodec.decode("audio", junk) == Media.StubCodec.decode("audio", junk))
   }
 
+  test("craftedMedia rows decode to exactly the oracle's literal expectations") {
+    // these tuples are duplicated as VALUES literals in the m_media_features
+    // oracle SQL (Queries2) — this spec pins the Scala side to them
+    val got = Media.extractFeatures(Media.craftedMedia(spark), Media.HeaderCodec).collect()
+      .map(f => (f.media_id, f.kind, f.n_bytes, f.width, f.height, f.sample_rate, f.n_frames))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1000L, "image", 24L, 640, 480, 0, 1),
+      (1001L, "image", 18L, 512, 256, 0, 1),
+      (1002L, "image", 10L, 320, 200, 0, 1),
+      (1003L, "audio", 52L, 0, 0, 44100, 2)))
+  }
+
   test("extractFeatures with HeaderCodec carries real header metadata through the batch path") {
     import spark.implicits._
     val media = Seq((1L, "image", png), (2L, "audio", wav))

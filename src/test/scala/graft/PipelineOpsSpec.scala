@@ -135,6 +135,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(approx.size <= 50)
   }
 
+  test("LSH bucketing at 384 dims x 128 planes plans in bounded time (one plane-matrix literal)") {
+    // the round-3 shape inlined planes x dims `lit` nodes into one
+    // projection (~50k expression nodes at this config) — analysis/codegen
+    // blow-up territory; the matrix literal keeps the plan ~128 nodes
+    val dims = 384
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => (((i * 31 + d) % 17) - 8).toFloat / 8f))
+    }.toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val rows = Ann.lshTableBuckets(vecs, planes = 16, tables = 8).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 50 * 8)
+    assert(secs < 60.0, f"high-dim LSH bucketing took $secs%.1f s")
+    // deterministic: a second plan produces identical buckets
+    val again = Ann.lshTableBuckets(vecs, planes = 16, tables = 8).collect()
+    assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+  }
+
   test("LSH candidate bucket-size cap drops hot buckets, keeps the rest") {
     val hot = (0L until 40L).map(i => (i, "identical boilerplate page text body"))
     val rest = Seq((100L, "unique text one of a kind alpha"), (101L, "unique text one of a kind alpha"))

@@ -71,6 +71,55 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("sssp + temporal-reachability supersteps: SHJ against the cached big table, no sort, no window") {
+    // the round-3 sssp picked its min-vid parent with a row_number window
+    // (a sort per superstep) and carried name-path arrays in state; the
+    // rebuilt step must be a hash aggregate over (vid, parent) rows with
+    // both joins SHJ so the persisted pairs/events tables are never
+    // re-sorted per level. Frontier/reached are localCheckpoint'ed to
+    // reproduce the unknown-stats regime of a real loop iteration.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    withoutAutoBroadcast {
+      graft.bsp.IterativeConf.withStablePartitioning(spark) {
+        val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val n = 50000L
+        val edges0 = spark.range(0, n, 1, 4).flatMap { i =>
+          graft.io.Corpus.linkTargets(i, 8, 11L).map(j => (i, j))
+        }.toDF("src", "dst").withColumn("ts", col("src") % 97)
+        val g = LinkGraph.fromRawEdges(edges0)
+        val pairs = g.undirectedPairs.repartition(p, $"a").persist()
+        pairs.count()
+        val frontier = g.nodes.filter($"vid" < 100)
+          .select($"vid", lit(0L).as("dist"), lit(null).cast("long").as("parent"))
+          .localCheckpoint(true)
+        val step = graft.algo.Pathing.ssspStep(frontier, frontier, pairs, 1L)
+        val exec = step.queryExecution.executedPlan
+        val s = exec.toString
+        assert(exec.collect { case x: SortExec => x }.isEmpty, s"per-level sort in sssp step:\n$s")
+        assert(exec.collect { case x: WindowExec => x }.isEmpty, s"window in sssp step:\n$s")
+        assert(exec.collect { case x: ShuffledHashJoinExec => x }.nonEmpty,
+          s"sssp frontier join is not SHJ:\n$s")
+
+        val events = g.edges.select($"src", $"dst", $"ts")
+          .repartition(p, $"src").persist()
+        events.count()
+        val tFrontier = g.nodes.filter($"vid" < 100)
+          .select($"vid", lit(0L).as("earliest"), lit(null).cast("long").as("prev"))
+          .localCheckpoint(true)
+        val scatter = graft.algo.Pathing.reachScatter(tFrontier, events, g.nodes, Seq(1L))
+        val exec2 = scatter.queryExecution.executedPlan
+        val s2 = exec2.toString
+        assert(exec2.collect { case x: SortExec => x }.isEmpty,
+          s"per-step sort in reachability scatter:\n$s2")
+        assert(exec2.collect { case x: ShuffledHashJoinExec => x }.nonEmpty,
+          s"reachability scatter join is not SHJ:\n$s2")
+        pairs.unpersist(); events.unpersist(); g.unpersist()
+      }
+    }
+  }
+
   test("parquet scan: filters push down and columns prune to the projection") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 10).select("doc_id", "text")

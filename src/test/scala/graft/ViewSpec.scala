@@ -59,4 +59,36 @@ class ViewSpec extends AnyFunSuite {
     val full = PageRank.run(g).collect().map(_.getDouble(2)).sum
     assert(math.abs(full - 1.0) < 1e-9)
   }
+
+  test("temporal node properties: history, at(t), latest, windowed views (node.rs:96-109)") {
+    // vid 0 = "1", vid 1 = "2" (fromNumericEdgeList first-appearance order)
+    val pe = Seq(
+      (0L, "x", 0L, 1.0), (0L, "x", 5L, 2.0), (0L, "x", 10L, 3.0),
+      (1L, "x", 7L, 9.0), (0L, "y", 5L, 42.0)
+    ).toDF("vid", "prop", "ts", "value")
+    val gp = g.withNodePropEvents(pe)
+    // history of one prop, all events
+    assert(gp.propertyHistory("x").count() == 4)
+    // at(t): latest event with ts <= t, per node; absent when none
+    val at6 = gp.propertyAt("x", 6L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(at6 == Map(0L -> ((5L, 2.0))))
+    val at7 = gp.propertyAt("x", 7L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(at7 == Map(0L -> ((5L, 2.0)), 1L -> ((7L, 9.0))))
+    // latest over the full view
+    val latest = gp.propertyLatest("x").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(latest == Map(0L -> 3.0, 1L -> 9.0))
+    // window views restrict property histories like edges
+    val w = gp.window(0L, 6L)
+    assert(w.propertyHistory("x").count() == 2)
+    assert(w.propertyLatest("x").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap == Map(0L -> 2.0))
+    // no events attached => empty, not an error
+    assert(g.propertyHistory("x").isEmpty)
+    // materialize remaps the event log onto the re-minted vids
+    val m = gp.materialize()
+    assert(m.propertyLatest("x").count() == 2)
+  }
 }

@@ -161,6 +161,14 @@ object Queries2 {
       g.propertyAt("totalprice", tHalf)
         .select(col("vid").as("id"), col("ts"), round(col("value"), 2).as("value"))
     }),
+    // edge-event temporal property: latest per (src, dst) at the half-span
+    // timestamp — the property column IS the exploded event log's column
+    "g_edge_prop_at" -> ((s, d) => {
+      val g = LinkGraph.fromRawEdges(Queries.orderEventsForTest(s, d))
+      val tHalf = g.edges.agg(max(col("ts"))).head().getLong(0) / 2
+      g.edgePropertyAt("weight", tHalf)
+        .select(col("src"), col("dst"), col("ts"), round(col("value"), 2).as("value"))
+    }),
     "g_bipartite_projection" -> ((s, d) => {
       val g = graph(s, d)
       val pivots = g.nodes.filter(col("vid") % 2 === 0).select(col("vid"))
@@ -329,6 +337,15 @@ object Queries2 {
         |SELECT vid AS id, CAST(max(ts) AS BIGINT) AS ts,
         |       round(arg_max(value, ts), 2) AS value
         |FROM pe WHERE ts <= (SELECT t FROM tt) GROUP BY vid""".stripMargin,
+    "g_edge_prop_at" ->
+      """WITH pe AS (SELECT o_orderkey % 1009 AS src,
+        |                   (o_orderkey * 31 + o_custkey) % 1009 AS dst,
+        |                   o_orderkey AS ts, o_totalprice AS value
+        |            FROM orders WHERE o_orderkey % 7 < 3),
+        |tt AS (SELECT max(ts) // 2 AS t FROM pe)
+        |SELECT src, dst, CAST(max(ts) AS BIGINT) AS ts,
+        |       round(arg_max(value, ts), 2) AS value
+        |FROM pe WHERE ts <= (SELECT t FROM tt) GROUP BY src, dst""".stripMargin,
     "g_temporal_motifs" -> motifCensusSql(32L, local = false),
     "g_local_motifs" -> motifCensusSql(32L, local = true),
     // Brandes betweenness (first 50 sources, normalised) in recursive SQL:

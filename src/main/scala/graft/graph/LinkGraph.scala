@@ -113,6 +113,21 @@ class LinkGraph(
   /** Latest value per node over the whole view (`.latest()`). */
   def propertyLatest(prop: String): DataFrame = propertyAt(prop, Long.MaxValue)
 
+  /** Timestamped history of an edge-event property: (src, dst, ts, value).
+    * Edge temporal properties ride as extra columns of the exploded event
+    * log (fromRawEdges keeps them), so the history IS a projection —
+    * view-windowed like everything else (edge.rs:66-77 `history()` over
+    * per-event props). */
+  def edgePropertyHistory(prop: String): DataFrame =
+    edges.select(col("src"), col("dst"), col("ts"), col(prop).as("value"))
+
+  /** Latest value of an edge-event property per (src, dst) at time t:
+    * one hash aggregate, deterministic for per-edge-unique event times. */
+  def edgePropertyAt(prop: String, t: Long): DataFrame =
+    edgePropertyHistory(prop).filter(col("ts") <= t)
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("ts")).as("ts"), max_by(col("value"), col("ts")).as("value"))
+
   /** Induced subgraph of the nodes whose type is in `types` — the
     * reference's subgraph_node_types
     * (db/graph/views/node_type_filtered_subgraph.rs). Untyped graphs have

@@ -91,4 +91,22 @@ class ViewSpec extends AnyFunSuite {
     val m = gp.materialize()
     assert(m.propertyLatest("x").count() == 2)
   }
+
+  test("edge-event temporal properties: history is a projection, at(t) per (src, dst)") {
+    val e = Seq(
+      (0L, 1L, 0L, 0L, "_default", 10.0), (0L, 1L, 5L, 1L, "_default", 20.0),
+      (1L, 2L, 3L, 2L, "_default", 7.0)
+    ).toDF("src", "dst", "ts", "seq", "layer", "w")
+    val n = Seq((0L, "0"), (1L, "1"), (2L, "2")).toDF("vid", "name")
+    val gw = new graft.graph.LinkGraph(e, n, namesAreNumeric = true)
+    assert(gw.edgePropertyHistory("w").count() == 3)
+    val at4 = gw.edgePropertyAt("w", 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(at4 == Map((0L, 1L) -> ((0L, 10.0)), (1L, 2L) -> ((3L, 7.0))))
+    val at9 = gw.edgePropertyAt("w", 9L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(at9 == Map((0L, 1L) -> 20.0, (1L, 2L) -> 7.0))
+    // windows restrict edge property histories with the edge events
+    assert(gw.window(0L, 3L).edgePropertyHistory("w").count() == 1)
+  }
 }

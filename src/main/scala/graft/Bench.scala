@@ -121,12 +121,14 @@ object Bench {
     // (pagerank/census/buckets), which is part of the protocol and noted
     // in the artifact.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val passTotal = Array(0.0, 0.0)
     for (pass <- 1 to 2) {
       SparkEntry.queries.foreach { case (name, fn) =>
         var ok = true
         val (_, t) = time {
           try fn(spark, sfDir).count() catch { case _: Throwable => ok = false }
         }
+        if (ok) passTotal(pass - 1) += t
         // failures are recorded as negative timings + listed in detail so a
         // broken query can never masquerade as a fast one
         if (!ok) {
@@ -137,8 +139,13 @@ object Bench {
       }
     }
     if (failed.nonEmpty) extra("failed_queries") = failed.mkString(",")
+    // honesty note: the per-query best-of values reflect warm memoized
+    // caches (pagerank/census/buckets built in pass 1); the pass totals
+    // below keep the cold one-time build costs visible in the artifact
+    extra("query_total_pass1_cold") = f"${passTotal(0)}%.1f"
+    extra("query_total_pass2_warm") = f"${passTotal(1)}%.1f"
     fullOnly("query_leg_protocol") =
-      "best-of-2 interleaved full passes; second pass shares memoized caches"
+      "best-of-2 interleaved full passes; second pass shares memoized caches; pass1=cold total incl one-time cache builds"
 
     // ---- part 3: N vs 4N scaling (BASELINE.md protocol) ----
     // HEADLINE = the DataFrame shuffle engine: it is the path a real
@@ -213,7 +220,8 @@ object Bench {
     // included), so the printed line must stay under ~1900 chars to parse.
     // 1-decimal timings + decision-only detail keys; drop detail entries
     // (never queries — they are the driver contract) if still over budget.
-    val decisionKeys = Seq("pagerank_edges_scattered_per_sec", "scaling_headline_pair",
+    val decisionKeys = Seq("pagerank_edges_scattered_per_sec",
+      "query_total_pass1_cold", "query_total_pass2_warm", "scaling_headline_pair",
       "scaling_efficiency", "scaling_df_eff_2_8", "scaling_df_eff_8_32",
       "scaling_df_thr_local2", "scaling_df_thr_local8", "scaling_df_thr_local32",
       "scaling_csr_eff_8_32", "pagerank_supersteps", "corpus_edges", "corpus_nodes")

@@ -149,6 +149,15 @@ object Queries2 {
         .select(col("vid").as("id"), posexplode(col("counts")).as(Seq("motif", "n")))
         .select(col("id"), col("motif").cast("long").as("motif"), col("n"))
     }),
+    // Cypher text surface (SURVEY §2.7, raphtory-cypher run_cypher):
+    // transpiled MATCH over the orders graph — the edge-scan projection
+    // and a two-hop time-respecting count
+    "cy_edges" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[e]->(b) RETURN a.id AS src, b.id AS dst, e.ts AS ts")),
+    "cy_two_hop" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[e1]->(b)-[e2]->(c) WHERE e2.ts > e1.ts AND a <> c RETURN count(*) AS n")),
     // temporal node property histories: latest value per node at the
     // half-span timestamp via propertyAt (one hash aggregate) over a
     // (vid, prop, ts, value) event log derived from orders
@@ -328,6 +337,13 @@ object Queries2 {
          |       (SELECT count(DISTINCT community) FROM part) AS n_communities,
          |       (SELECT count(*) FROM mins WHERE community <> mn) AS non_min_labels,
          |       (SELECT round(q, 6) FROM qv) AS modularity""".stripMargin,
+    "cy_edges" ->
+      s"""WITH $sqlGraph
+         |SELECT src, dst, ts FROM ev""".stripMargin,
+    "cy_two_hop" ->
+      s"""WITH $sqlGraph
+         |SELECT count(*) AS n FROM ev x JOIN ev y
+         |ON y.src = x.dst AND y.ts > x.ts AND x.src <> y.dst""".stripMargin,
     // latest-at-t per node over the property event log: arg_max by ts
     // (event times are unique: ts = o_orderkey), t = half the max ts
     "g_node_prop_at" ->

@@ -48,14 +48,19 @@ object Pathing {
     var frontier = reached
     var level = 0L
     var done = frontier.isEmpty
+    val dbg = sys.env.contains("GRAFT_SSSP_DEBUG")
     while (!done && level < cutoff) {
       level += 1
+      val t0 = System.nanoTime()
       val next = ssspStep(frontier, reached, pairs, level).localCheckpoint(true)
+      val t1 = System.nanoTime()
       done = next.isEmpty
+      val t2 = System.nanoTime()
       if (!done) {
         reached = reached.union(next).localCheckpoint(true)
         frontier = next
       }
+      if (dbg) println(f"[sssp] level $level step=${(t1 - t0) / 1e9}%.2f isEmpty=${(t2 - t1) / 1e9}%.2f union=${(System.nanoTime() - t2) / 1e9}%.2f")
     }
     pairs.unpersist()
     if (!withPaths) reached.join(g.nodes, Seq("vid")).select($"vid", $"name", $"dist")

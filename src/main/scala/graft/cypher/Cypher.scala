@@ -1,0 +1,426 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.graph.LinkGraph
+
+/** Cypher text surface: the subset the reference's own cypher layer
+  * exercises (raphtory-cypher/src/lib.rs:241-622 run_cypher tests;
+  * parser fixtures raphtory-cypher/src/parser/mod.rs:742-1663),
+  * transpiled to DataFrame operations instead of a bespoke executor —
+  * the Spark-first analogue of the reference's Cypher→DataFusion
+  * transpiler (raphtory-cypher/src/transpiler/mod.rs).
+  *
+  * Supported:
+  *  - MATCH with chained and comma-separated patterns, both arrow
+  *    directions, anonymous or named nodes/edges;
+  *  - edge labels = layer filters, node labels = node_type filters
+  *    (the reference binds edge labels to layer tables,
+  *    lib.rs:383-401, parser/mod.rs:1473);
+  *  - inline property maps `{src: 0}` (lib.rs:401);
+  *  - WHERE with =, <>, <, <=, >, >=, AND, OR, NOT over literals,
+  *    node/edge variables and their properties;
+  *  - RETURN items (var, var.prop, aliases), RETURN *, DISTINCT,
+  *    count(*), ORDER BY ... ASC|DESC, LIMIT.
+  *
+  * Bindings: an edge variable binds one exploded edge EVENT row (the
+  * reference returns one row per event, lib.rs:241-255) with columns
+  * `<e>_src/_dst/_ts/_seq/_layer` plus any extra event property
+  * columns; a node variable binds `<n>_vid` (+ `<n>_name` /
+  * `<n>_node_type` / node prop columns when referenced). `v.id` on a
+  * node resolves to its vid; `e.id` is unsupported (the rebuild has no
+  * dense edge ids — use (src, dst, seq)).
+  */
+object Cypher {
+
+  // ---------- AST ----------
+  sealed trait Expr
+  case class Lit(value: Any) extends Expr
+  case class VarRef(v: String) extends Expr
+  case class Prop(v: String, name: String) extends Expr
+  case class Cmp(op: String, l: Expr, r: Expr) extends Expr
+  case class And(l: Expr, r: Expr) extends Expr
+  case class Or(l: Expr, r: Expr) extends Expr
+  case class Not(e: Expr) extends Expr
+  case object CountStar extends Expr
+
+  case class NodePat(v: Option[String], label: Option[String], props: Map[String, Lit])
+  case class EdgePat(v: Option[String], label: Option[String], props: Map[String, Lit],
+                     leftToRight: Boolean)
+  case class Chain(first: NodePat, hops: Seq[(EdgePat, NodePat)])
+  case class RetItem(expr: Expr, alias: Option[String])
+  case class Query(chains: Seq[Chain], where: Option[Expr], distinct: Boolean,
+                   returnAll: Boolean, items: Seq[RetItem],
+                   orderBy: Seq[(Expr, Boolean)], limit: Option[Long])
+
+  // ---------- tokenizer ----------
+  private sealed trait Tok
+  private case class TIdent(s: String) extends Tok
+  private case class TNum(s: String) extends Tok
+  private case class TStr(s: String) extends Tok
+  private case class TPunct(s: String) extends Tok
+
+  private def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val j = s.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i)
+        val end = if (j < 0) s.length else j
+        out += TIdent(s.substring(i, end)); i = end
+      } else if (c.isDigit) {
+        val j = s.indexWhere(ch => !(ch.isDigit || ch == '.'), i)
+        val end = if (j < 0) s.length else j
+        out += TNum(s.substring(i, end)); i = end
+      } else if (c == '\'' || c == '"') {
+        val end = s.indexOf(c, i + 1)
+        require(end > 0, s"unterminated string at $i")
+        out += TStr(s.substring(i + 1, end)); i = end + 1
+      } else {
+        val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+        if (Set("->", "<-", "<>", "<=", ">=").contains(two)) { out += TPunct(two); i += 2 }
+        else { out += TPunct(c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+
+  // ---------- parser (recursive descent over the token vector) ----------
+  final class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def kw(k: String): Boolean = peek match {
+      case Some(TIdent(s)) if s.equalsIgnoreCase(k) => pos += 1; true
+      case _ => false
+    }
+    private def expectKw(k: String): Unit = require(kw(k), s"expected $k at token $pos")
+    private def punct(p: String): Boolean = peek match {
+      case Some(TPunct(s)) if s == p => pos += 1; true
+      case _ => false
+    }
+    private def expectPunct(p: String): Unit = require(punct(p), s"expected '$p' at token $pos: ${peek}")
+    private def ident(): String = next() match {
+      case TIdent(s) => s
+      case t => throw new IllegalArgumentException(s"expected identifier, got $t")
+    }
+
+    private def literal(): Lit = next() match {
+      case TNum(s) => Lit(if (s.contains('.')) s.toDouble else s.toLong)
+      case TStr(s) => Lit(s)
+      case TIdent(s) if s.equalsIgnoreCase("true") => Lit(true)
+      case TIdent(s) if s.equalsIgnoreCase("false") => Lit(false)
+      case t => throw new IllegalArgumentException(s"expected literal, got $t")
+    }
+
+    private def propMap(): Map[String, Lit] = {
+      if (!punct("{")) return Map.empty
+      val b = Map.newBuilder[String, Lit]
+      var more = true
+      while (more) {
+        val k = ident(); expectPunct(":")
+        b += k -> literal()
+        more = punct(",")
+      }
+      expectPunct("}")
+      b.result()
+    }
+
+    private def nodePat(): NodePat = {
+      expectPunct("(")
+      val v = peek match {
+        case Some(TIdent(s)) if !s.equalsIgnoreCase("") => pos += 1; Some(s)
+        case _ => None
+      }
+      val label = if (punct(":")) Some(ident()) else None
+      val props = propMap()
+      expectPunct(")")
+      NodePat(v, label, props)
+    }
+
+    /** `-[e:L {..}]->` or `<-[e:L {..}]-` */
+    private def edgePat(): Option[EdgePat] = {
+      if (punct("-")) {
+        expectPunct("[")
+        val v = peek match { case Some(TIdent(s)) => pos += 1; Some(s); case _ => None }
+        val label = if (punct(":")) Some(ident()) else None
+        val props = propMap()
+        expectPunct("]")
+        expectPunct("->")
+        Some(EdgePat(v, label, props, leftToRight = true))
+      } else if (punct("<-")) {
+        expectPunct("[")
+        val v = peek match { case Some(TIdent(s)) => pos += 1; Some(s); case _ => None }
+        val label = if (punct(":")) Some(ident()) else None
+        val props = propMap()
+        expectPunct("]")
+        expectPunct("-")
+        Some(EdgePat(v, label, props, leftToRight = false))
+      } else None
+    }
+
+    private def chain(): Chain = {
+      val first = nodePat()
+      val hops = Seq.newBuilder[(EdgePat, NodePat)]
+      var e = edgePat()
+      while (e.isDefined) {
+        hops += ((e.get, nodePat()))
+        e = edgePat()
+      }
+      Chain(first, hops.result())
+    }
+
+    private def operand(): Expr = peek match {
+      case Some(TPunct("(")) => punct("("); val e = expr(); expectPunct(")"); e
+      case Some(TIdent(s)) if s.equalsIgnoreCase("count") =>
+        pos += 1; expectPunct("("); expectPunct("*"); expectPunct(")"); CountStar
+      case Some(TIdent(s)) if s.equalsIgnoreCase("not") => pos += 1; Not(operand())
+      case Some(_: TNum) | Some(_: TStr) => literal()
+      case Some(TIdent(s)) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => literal()
+      case Some(_: TIdent) =>
+        val v = ident()
+        if (punct(".")) Prop(v, ident()) else VarRef(v)
+      case t => throw new IllegalArgumentException(s"unexpected token $t")
+    }
+
+    private def cmp(): Expr = {
+      val l = operand()
+      val op = peek match {
+        case Some(TPunct(p)) if Set("=", "<>", "<", "<=", ">", ">=").contains(p) => pos += 1; Some(p)
+        case _ => None
+      }
+      op.map(o => Cmp(o, l, operand())).getOrElse(l)
+    }
+
+    private def andExpr(): Expr = {
+      var l = cmp()
+      while (kw("AND")) l = And(l, cmp())
+      l
+    }
+
+    def expr(): Expr = {
+      var l = andExpr()
+      while (kw("OR")) l = Or(l, andExpr())
+      l
+    }
+
+    def query(): Query = {
+      expectKw("MATCH")
+      val chains = Seq.newBuilder[Chain]
+      chains += chain()
+      while (punct(",")) chains += chain()
+      val where = if (kw("WHERE")) Some(expr()) else None
+      expectKw("RETURN")
+      val distinct = kw("DISTINCT")
+      var returnAll = false
+      val items = Seq.newBuilder[RetItem]
+      if (punct("*")) returnAll = true
+      else {
+        def retItem(): RetItem = {
+          val e = cmp()
+          val alias = if (kw("AS")) Some(ident()) else None
+          RetItem(e, alias)
+        }
+        items += retItem()
+        while (punct(",")) items += retItem()
+      }
+      val order = Seq.newBuilder[(Expr, Boolean)]
+      if (kw("ORDER")) {
+        expectKw("BY")
+        def orderItem(): (Expr, Boolean) = {
+          val e = operand()
+          val asc = if (kw("DESC")) false else { kw("ASC"); true }
+          (e, asc)
+        }
+        order += orderItem()
+        while (punct(",")) order += orderItem()
+      }
+      val limit = if (kw("LIMIT")) next() match {
+        case TNum(s) => Some(s.toLong)
+        case t => throw new IllegalArgumentException(s"expected LIMIT count, got $t")
+      } else None
+      require(pos == toks.length, s"trailing tokens from $pos: ${toks.drop(pos)}")
+      Query(chains.result(), where, distinct, returnAll, items.result(), order.result(), limit)
+    }
+  }
+
+  def parse(text: String): Query = new Parser(tokenize(text)).query()
+
+  // ---------- planner: Query -> DataFrame ----------
+
+  def run(g: LinkGraph, text: String): DataFrame = plan(g, parse(text))
+
+  def plan(g: LinkGraph, q: Query): DataFrame = {
+    var fresh = 0
+    val synth = scala.collection.mutable.Set.empty[String]
+    def freshEdge(): String = { fresh += 1; val n = s"_e$fresh"; synth += n; n }
+
+    // node var -> the column holding its vid in the assembled frame
+    val bound = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val edgeVars = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    var acc: DataFrame = null
+
+    def mergeOn(df: DataFrame, conds: Seq[Column]): Unit = {
+      acc =
+        if (acc == null) df
+        else if (conds.isEmpty) acc.crossJoin(df)
+        else acc.join(df, conds.reduce(_ && _))
+    }
+
+    def edgeFrame(ev: String, pat: EdgePat): DataFrame = {
+      var df = g.edges
+      pat.label.foreach(l => df = df.filter(col("layer") === l))
+      pat.props.foreach { case (k, Lit(v)) => df = df.filter(col(k) === lit(v)) }
+      val cols = df.columns.toSeq
+      edgeVars(ev) = cols.map(c => s"${ev}_$c")
+      df.select(cols.map(c => col(c).as(s"${ev}_$c")): _*)
+    }
+
+    // node label/prop constraints and name/prop references need the node
+    // table joined on the var's vid column — done lazily, once per var
+    val nodeJoined = scala.collection.mutable.Set.empty[String]
+    def joinNodeTable(v: String): Unit = if (!nodeJoined(v)) {
+      nodeJoined += v
+      val keyCol = s"${v}__nvid"
+      val renamed = g.nodes.columns.toSeq.map {
+        case "vid" => col("vid").as(keyCol)
+        case c => col(c).as(s"${v}_$c")
+      }
+      acc = acc.join(g.nodes.select(renamed: _*), col(bound(v)) === col(keyCol)).drop(keyCol)
+    }
+
+    // assemble all chains
+    for (ch <- q.chains) {
+      if (ch.hops.isEmpty) {
+        // node-only pattern: scan the node table
+        val v = ch.first.v.getOrElse(freshEdge())
+        if (bound.contains(v)) ()
+        else {
+          val renamed = g.nodes.columns.toSeq.map {
+            case "vid" => col("vid").as(s"${v}_vid")
+            case c => col(c).as(s"${v}_$c")
+          }
+          mergeOn(g.nodes.select(renamed: _*), Seq.empty)
+          bound(v) = s"${v}_vid"
+          nodeJoined += v
+        }
+      } else {
+        var leftNode = ch.first
+        for ((edge, rightNode) <- ch.hops) {
+          val ev = edge.v.getOrElse(freshEdge())
+          val (srcPat, dstPat) = if (edge.leftToRight) (leftNode, rightNode) else (rightNode, leftNode)
+          val df = edgeFrame(ev, edge)
+          // shared node vars become equi-join conditions against the new
+          // frame; bindings only take effect after conds are computed
+          val conds = Seq.newBuilder[Column]
+          val preBound = bound.toMap
+          srcPat.v.foreach { v => if (preBound.contains(v)) conds += col(preBound(v)) === col(s"${ev}_src") }
+          dstPat.v.foreach { v => if (preBound.contains(v)) conds += col(preBound(v)) === col(s"${ev}_dst") }
+          // a pattern like (b)-[e]->(b) self-constrains the new frame
+          // directly (it must hold even when this is the first frame)
+          val df2 =
+            if (srcPat.v.isDefined && srcPat.v == dstPat.v && !preBound.contains(srcPat.v.get))
+              df.filter(col(s"${ev}_src") === col(s"${ev}_dst"))
+            else df
+          mergeOn(df2, conds.result())
+          srcPat.v.foreach(v => if (!bound.contains(v)) bound(v) = s"${ev}_src")
+          dstPat.v.foreach(v => if (!bound.contains(v)) bound(v) = s"${ev}_dst")
+          leftNode = rightNode
+        }
+      }
+    }
+    require(acc != null, "empty MATCH")
+
+    // node labels / property maps
+    for (ch <- q.chains; np <- ch.first +: ch.hops.map(_._2); v <- np.v) {
+      np.label.foreach { l =>
+        joinNodeTable(v)
+        acc = acc.filter(col(s"${v}_node_type") === l)
+      }
+      np.props.foreach { case (k, Lit(value)) =>
+        if (k == "vid" || k == "id") acc = acc.filter(col(bound(v)) === lit(value))
+        else { joinNodeTable(v); acc = acc.filter(col(s"${v}_$k") === lit(value)) }
+      }
+    }
+
+    def exprCol(e: Expr): Column = e match {
+      case Lit(v) => lit(v)
+      case VarRef(v) if bound.contains(v) => col(bound(v))
+      case VarRef(v) if edgeVars.contains(v) =>
+        throw new IllegalArgumentException(s"bare edge variable $v needs a property (or use RETURN *)")
+      case VarRef(v) => throw new IllegalArgumentException(s"unbound variable $v")
+      case Prop(v, p) if edgeVars.contains(v) =>
+        val c = s"${v}_$p"
+        require(edgeVars(v).contains(c), s"edge $v has no property $p (has ${edgeVars(v)})")
+        col(c)
+      case Prop(v, p) if bound.contains(v) =>
+        if (p == "vid" || p == "id") col(bound(v))
+        else { joinNodeTable(v); col(s"${v}_$p") }
+      case Prop(v, _) => throw new IllegalArgumentException(s"unbound variable $v")
+      case Cmp("=", l, r) => exprCol(l) === exprCol(r)
+      case Cmp("<>", l, r) => exprCol(l) =!= exprCol(r)
+      case Cmp("<", l, r) => exprCol(l) < exprCol(r)
+      case Cmp("<=", l, r) => exprCol(l) <= exprCol(r)
+      case Cmp(">", l, r) => exprCol(l) > exprCol(r)
+      case Cmp(">=", l, r) => exprCol(l) >= exprCol(r)
+      case Cmp(op, _, _) => throw new IllegalArgumentException(s"unsupported operator $op")
+      case And(l, r) => exprCol(l) && exprCol(r)
+      case Or(l, r) => exprCol(l) || exprCol(r)
+      case Not(x) => !exprCol(x)
+      case CountStar => throw new IllegalArgumentException("count(*) only valid in RETURN")
+    }
+
+    q.where.foreach(w => acc = acc.filter(exprCol(w)))
+
+    val isCount = q.items.exists { case RetItem(CountStar, _) => true; case _ => false }
+    var out: DataFrame =
+      if (isCount) {
+        require(q.items.forall { case RetItem(CountStar, _) => true; case _ => false },
+          "count(*) cannot mix with plain return items (no grouping support)")
+        val alias = q.items.head.alias.getOrElse("count")
+        acc.agg(count(lit(1)).as(alias))
+      } else if (q.returnAll) {
+        // every named binding's columns: node vids (+ joined node cols) and
+        // full edge rows, in binding order
+        val nodeCols = bound.toSeq.filter(kv => !synth(kv._1)).flatMap { case (v, c) =>
+          val extra = if (nodeJoined(v))
+            g.nodes.columns.toSeq.filter(_ != "vid").map(n => col(s"${v}_$n"))
+          else Seq.empty
+          (col(c).as(s"${v}_vid") +: extra)
+        }
+        val eCols = edgeVars.toSeq.filter(kv => !synth(kv._1)).flatMap(_._2.map(col))
+        acc.select((nodeCols ++ eCols): _*)
+      } else {
+        val cols = q.items.zipWithIndex.map { case (RetItem(e, alias), i) =>
+          val name = alias.getOrElse(e match {
+            case Prop(v, p) => s"${v}_$p"
+            case VarRef(v) => s"${v}_vid"
+            case _ => s"col$i"
+          })
+          exprCol(e).as(name)
+        }
+        acc.select(cols: _*)
+      }
+    if (q.distinct) out = out.dropDuplicates()
+    if (q.orderBy.nonEmpty) {
+      // ORDER BY resolves against the PROJECTED columns: an output alias,
+      // a projected `v_prop` name, or a node var's `v_vid`
+      val os = q.orderBy.map { case (e, asc) =>
+        val name = e match {
+          case VarRef(v) if out.columns.contains(v) => v
+          case VarRef(v) if out.columns.contains(s"${v}_vid") => s"${v}_vid"
+          case Prop(v, p) if out.columns.contains(s"${v}_$p") => s"${v}_$p"
+          case Prop(v, p) if (p == "id" || p == "vid") && out.columns.contains(s"${v}_vid") => s"${v}_vid"
+          case other => throw new IllegalArgumentException(
+            s"ORDER BY must reference a returned column, got $other (have ${out.columns.mkString(",")})")
+        }
+        if (asc) col(name).asc else col(name).desc
+      }
+      out = out.orderBy(os: _*)
+    }
+    q.limit.foreach(n => out = out.limit(n.toInt))
+    out
+  }
+}

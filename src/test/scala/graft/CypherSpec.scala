@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.LinkGraph
+import graft.cypher.Cypher
+
+/** Cypher subset → DataFrame transpiler, exercised on the same query
+  * shapes the reference's cypher layer tests run
+  * (raphtory-cypher/src/lib.rs:241-622; parser fixtures
+  * raphtory-cypher/src/parser/mod.rs:742-1663). */
+class CypherSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 0→1, 1→2, 0→2, 2→3, 3→0, 2→0 with weights and two layers
+  lazy val g: LinkGraph = {
+    val e = Seq(
+      (0L, 1L, 1L, 0L, "a", 2.0), (1L, 2L, 2L, 1L, "a", 1.0),
+      (0L, 2L, 3L, 2L, "b", 5.0), (2L, 3L, 4L, 3L, "b", 3.0),
+      (3L, 0L, 5L, 4L, "a", 4.0), (2L, 0L, 6L, 5L, "a", 6.0)
+    ).toDF("src", "dst", "ts", "seq", "layer", "weight")
+    val n = Seq((0L, "zero"), (1L, "one"), (2L, "two"), (3L, "three")).toDF("vid", "name")
+    new LinkGraph(e, n, namesAreNumeric = false)
+  }
+
+  test("match ()-[e]->() RETURN * — one row per edge event (lib.rs:241-249)") {
+    val df = Cypher.run(g, "match ()-[e]->() RETURN *")
+    assert(df.count() == 6)
+    assert(df.columns.toSet == Set("e_src", "e_dst", "e_ts", "e_seq", "e_layer", "e_weight"))
+  }
+
+  test("RETURN * ORDER BY e.weight (lib.rs:255-263)") {
+    val rows = Cypher.run(g, "match ()-[e]->() RETURN * ORDER by e.weight")
+      .select("e_weight").as[Double].collect()
+    assert(rows.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("inline property map {src: 0} filters the edge scan (lib.rs:401-409)") {
+    val df = Cypher.run(g, "match ()-[e {src: 0}]->() RETURN *")
+    assert(df.count() == 2)
+    assert(df.select("e_src").as[Long].collect().toSet == Set(0L))
+  }
+
+  test("edge label = layer filter (parser/mod.rs:1473 Netflow-style)") {
+    assert(Cypher.run(g, "MATCH ()-[e:a]->() RETURN count(*) AS n")
+      .head().getLong(0) == 4L)
+    assert(Cypher.run(g, "MATCH ()-[e:b]->() RETURN count(*) AS n")
+      .head().getLong(0) == 2L)
+  }
+
+  test("match (n) return n — node scan (lib.rs:597-606)") {
+    val df = Cypher.run(g, "match (n) return n")
+    assert(df.select("n_vid").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("node + edge property projection with aliases (lib.rs:610-629)") {
+    val rows = Cypher.run(g,
+      "match (a)-[e]->(b) return a.id AS aid, e.ts AS ts, b.name AS bn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows.contains((0L, 1L, "one")))
+    assert(rows.contains((2L, 4L, "three")))
+    assert(rows.size == 6)
+  }
+
+  test("two-hop chain joins on the shared node var (lib.rs:383-397)") {
+    val got = Cypher.run(g,
+      "match (a)-[e1]->(b)-[e2]->(c) RETURN a.id AS a, b.id AS b, c.id AS c")
+    // expectation computed independently with a plain DataFrame join
+    val e = g.edges.select($"src", $"dst")
+    val exp = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
+      .select(col("x.src"), col("x.dst"), col("y.dst"))
+    assert(got.count() == exp.count())
+    assert(got.collect().map(_.toSeq).toSet == exp.collect().map(_.toSeq).toSet)
+  }
+
+  test("comma patterns + WHERE <> (parser/mod.rs:1516 shape)") {
+    val n = Cypher.run(g,
+      "MATCH (a)-[e1]->(b), (b)-[e2]->(c) WHERE a <> c RETURN count(*) AS n")
+      .head().getLong(0)
+    val e = g.edges.select($"src", $"dst")
+    val exp = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
+      .filter(col("x.src") =!= col("y.dst")).count()
+    assert(n == exp)
+  }
+
+  test("reversed arrow binds src/dst correctly (parser/mod.rs:809)") {
+    val rows = Cypher.run(g, "MATCH (a)<-[e]-(b) RETURN a.id AS a, b.id AS b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((1L, 0L))) // edge 0→1 seen as a<-b with a=1
+    assert(rows.size == 6)
+  }
+
+  test("ORDER BY alias DESC + LIMIT") {
+    val w = Cypher.run(g,
+      "match ()-[e]->() RETURN e.weight AS w ORDER BY w DESC LIMIT 2")
+      .as[Double].collect()
+    assert(w.toSeq == Seq(6.0, 5.0))
+  }
+
+  test("RETURN DISTINCT") {
+    val a = Cypher.run(g, "match (a)-[e]->() RETURN DISTINCT a.id AS a")
+      .as[Long].collect().toSet
+    assert(a == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("node label filters via node_type (transpiler label semantics)") {
+    val typed = g.withNodeTypes(Seq((0L, "even"), (1L, "odd"), (2L, "even"), (3L, "odd"))
+      .toDF("vid", "node_type"))
+    val ids = Cypher.run(typed, "MATCH (n:even)-[e]->(m) RETURN n.id AS id")
+      .as[Long].collect().toSet
+    assert(ids == Set(0L, 2L))
+  }
+
+  test("self-loop pattern (b)-[e]->(b) (parser/mod.rs:1473 (B)<-(B) shape)") {
+    val eSelf = Seq((7L, 7L, 1L, 0L, "a", 1.0), (7L, 8L, 2L, 1L, "a", 1.0))
+      .toDF("src", "dst", "ts", "seq", "layer", "weight")
+    val n = Seq((7L, "x"), (8L, "y")).toDF("vid", "name")
+    val gs = new LinkGraph(eSelf, n, namesAreNumeric = false)
+    assert(Cypher.run(gs, "MATCH (b)-[e]->(b) RETURN count(*) AS n").head().getLong(0) == 1L)
+  }
+
+  test("WHERE on properties with AND/OR") {
+    val n = Cypher.run(g,
+      "match ()-[e]->() WHERE e.weight >= 3.0 AND e.layer = 'a' RETURN count(*) AS n")
+      .head().getLong(0)
+    assert(n == 2L) // weights 4.0 and 6.0 on layer a
+  }
+}

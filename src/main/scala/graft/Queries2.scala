@@ -204,6 +204,21 @@ object Queries2 {
       import s.implicits._
       Ann.annTopK(e, s.range(10).toDF("id"), k = 5, planes = 8)
     }),
+    // IVF ANN: k-means float bits depend on aggregation order, so the
+    // trained centroid matrix is dumped to the aux dir (like the Louvain
+    // partition) and the oracle replays assignment + probing + cosine
+    // top-k over the SAME doubles — list_dot_product's index-order
+    // summation is bit-equal to the codegen DotProduct.
+    "e_ann_ivf" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val cents = Ann.ivfTrain(e, nlist = 16, iters = 4)
+      import s.implicits._
+      s.createDataset(cents.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) })
+        .toDF("cid", "c")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${Verify.AuxDir}/ivf_centroids.parquet")
+      Ann.ivfTopK(e, s.range(10).toDF("id"), k = 5, cents, nprobe = 3)
+    }),
     "t_search" -> ((s, d) => // inverted-index TF-IDF top-20
       graft.text.Search.search(tbl(s, d, "documents"),
         Seq("spark", "shuffle", "query"), k = 20)),
@@ -616,6 +631,35 @@ object Queries2 {
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM sims)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5""".stripMargin,
+    // IVF ANN over the dumped centroid matrix: nearest-cell assignment
+    // (score = dot/|c|, ties → lowest cid), queries probe their 3 nearest
+    // cells, exact cosine rank within cell members. Cells are disjoint so
+    // no DISTINCT is needed (unlike the LSH probe union).
+    "e_ann_ivf" ->
+      s"""WITH cent AS (SELECT cid, c
+         |  FROM read_parquet('${Verify.AuxDir}/ivf_centroids.parquet/*.parquet')),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT v.vec_id, cent.cid,
+         |         list_dot_product(v.v, cent.c) / sqrt(list_dot_product(cent.c, cent.c)) AS score
+         |       FROM v, cent),
+         |rk AS (SELECT vec_id, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+         |       FROM sc),
+         |asg AS (SELECT vec_id, cid AS list_id FROM rk WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS list_id
+         |           FROM rk WHERE rn <= 3 AND vec_id < 10),
+         |sims AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |           round(list_dot_product(q.v, c.v) /
+         |             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+         |         FROM probes p
+         |         JOIN v q ON q.vec_id = p.query_id
+         |         JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+         |         JOIN v c ON c.vec_id = a.vec_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |      FROM sims)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+         |FROM r WHERE rank <= 5""".stripMargin,
     "t_minhash" ->
       s"""WITH $minhashShSql,
          |${minhashSigSql(16)}

@@ -140,4 +140,110 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  // ── IVF (inverted-file) ANN ────────────────────────────────────────────
+  // The second scale path beside sign-LSH: a coarse quantizer (k-means
+  // centroids) partitions the vector space into nlist Voronoi cells; each
+  // vector is assigned to exactly ONE cell (vs LSH's tables × probes
+  // memberships), and a query scans only its nprobe nearest cells. On
+  // clustered corpora IVF gives tighter candidate sets than hyperplane
+  // buckets because the cells follow the data's density, not random
+  // directions. Assignment is a pure per-row projection against the
+  // broadcast centroid matrix (NO shuffle — verified by AnnSpec's plan
+  // audit), so it survives a billion-vector table; training touches only
+  // nlist × dims doubles on the driver.
+
+  /** Per-centroid affinity scores (dot(v, c)/|c| — argmax equals cosine
+    * argmax since |v| is constant per row). One array-of-arrays literal
+    * like the LSH plane matrix; every dot is the codegen'd sequential
+    * DotProduct, so scores are bit-reproducible by the DuckDB oracle's
+    * list_dot_product over the dumped centroids. */
+  private def centroidScores(vecCol: String, cents: Array[Array[Double]]): Column = {
+    val cm = typedlit(cents)
+    array(cents.indices.map { i =>
+      val cv = element_at(cm, i + 1)
+      dot(toD(col(vecCol)), cv) / sqrt(dot(cv, cv))
+    }: _*)
+  }
+
+  /** (id, list_id): each vector's nearest centroid (ties → lowest cid,
+    * mirroring the oracle's ORDER BY score DESC, cid). Pure projection. */
+  def ivfAssignments(emb: DataFrame, cents: Array[Array[Double]],
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val sc = centroidScores(vecCol, cents)
+    emb.select(col(idCol),
+      (array_position(sc, array_max(sc)) - 1).cast("int").as("list_id"))
+  }
+
+  /** Deterministic Lloyd k-means coarse quantizer: seeds are the nlist
+    * vectors with the smallest md5("ivf:<id>") (a portable pseudo-random
+    * sample), then `iters` assign/average rounds. Only nlist × dims
+    * doubles ever reach the driver; the per-round average is one
+    * posexplode + hash aggregate. Exact float bits of the result depend
+    * on aggregation order, which is why callers that need an oracle dump
+    * the returned matrix (e_ann_ivf) rather than re-deriving it. */
+  def ivfTrain(emb: DataFrame, nlist: Int, iters: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    // seed pick is a TakeOrderedAndProject — only nlist rows reach the driver
+    val seedRows = emb
+      .select(col(idCol).cast("long").as("id"), toD(col(vecCol)).as("v"))
+      .withColumn("h", graft.text.TextOps.md5u32(concat(lit("ivf:"), col("id"))))
+      .orderBy(col("h"), col("id")).limit(nlist)
+      .collect()
+    var cents = seedRows.map(_.getSeq[Double](1).toArray)
+    val dims = cents.head.length
+    for (_ <- 0 until iters) {
+      val asg = ivfAssignments(emb, cents, idCol, vecCol)
+      val means = emb.join(asg, idCol)
+        .select(col("list_id"), posexplode(toD(col(vecCol))).as(Seq("d", "x")))
+        .groupBy(col("list_id"), col("d")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      val touched = Array.fill(nlist)(false)
+      means.foreach { r =>
+        val (l, d) = (r.getInt(0), r.getInt(1))
+        if (!touched(l)) { next(l) = new Array[Double](dims); touched(l) = true }
+        next(l)(d) = r.getDouble(2)
+      } // untouched (empty) lists keep their previous centroid
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF search against a trained centroid matrix: queries probe their
+    * nprobe nearest cells (an array_sort projection — no shuffle on the
+    * probe selection), exact cosine rank within the probed cells' members.
+    * Cells are disjoint so no cross-probe dedup is needed (unlike LSH
+    * tables). Returns (query_id, rank, neighbor_id, sim). */
+  def ivfTopK(emb: DataFrame, queryIds: DataFrame, k: Int,
+              cents: Array[Array[Double]], nprobe: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              roundTo: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val asg = ivfAssignments(emb, cents, idCol, vecCol)
+    val v = emb.select(col(idCol), toD(col(vecCol)).as("v"))
+    val sc = centroidScores(vecCol, cents)
+    val scored = array_sort(
+      array(cents.indices.map(i =>
+        struct(element_at(sc, i + 1).as("score"), lit(i).as("cid"))): _*),
+      (l, r) => when(l.getField("score") > r.getField("score"), lit(-1))
+        .when(l.getField("score") < r.getField("score"), lit(1))
+        .otherwise((l.getField("cid") - r.getField("cid")).cast("int")))
+    val q = emb.join(queryIds.withColumnRenamed(queryIds.columns.head, idCol), Seq(idCol))
+      .select(col(idCol).as("query_id"), toD(col(vecCol)).as("qv"),
+        explode(transform(slice(scored, 1, nprobe), s => s.getField("cid"))).as("list_id"))
+    val c = v.join(asg, idCol)
+      .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("list_id"))
+    val sims = q.join(c, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
 }

@@ -158,6 +158,10 @@ object Queries2 {
     "cy_two_hop" -> ((s, d) =>
       graft.cypher.Cypher.run(graph(s, d),
         "MATCH (a)-[e1]->(b)-[e2]->(c) WHERE e2.ts > e1.ts AND a <> c RETURN count(*) AS n")),
+    "cy_degree" -> ((s, d) => // implicit grouping: per-source event stats
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[e]->(b) RETURN a.id AS id, count(*) AS n_events, " +
+          "min(e.ts) AS first_ts, max(e.ts) AS last_ts")),
     // temporal node property histories: latest value per node at the
     // half-span timestamp via propertyAt (one hash aggregate) over a
     // (vid, prop, ts, value) event log derived from orders
@@ -198,6 +202,12 @@ object Queries2 {
       Dedup.jaccardVerify(lshCands(s, d), TextOps.charShingles(docs, "doc_id", "text", 5))
     }),
     "d_simhash" -> ((s, d) => Dedup.simhash(tbl(s, d, "documents"))),
+    // embedding-cosine near-dup baseline (cross product; the scale path is
+    // the bucketed sim.Ann family). Threshold 0.3 sits >=5.9e-7 away from
+    // every pair's cosine at sf<=0.1, far beyond any summation-order bit
+    // noise, so the unrounded >= filter is oracle-stable.
+    "d_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(tbl(s, d, "embeddings"), 0.3)),
     "d_norm_dup" -> ((s, d) => Dedup.normalizedGroups(tbl(s, d, "documents"))),
     "e_ann_lsh" -> ((s, d) => { // deterministic buckets (sequential dots) + Hamming-1 probes
       val e = tbl(s, d, "embeddings")
@@ -359,6 +369,11 @@ object Queries2 {
       s"""WITH $sqlGraph
          |SELECT count(*) AS n FROM ev x JOIN ev y
          |ON y.src = x.dst AND y.ts > x.ts AND x.src <> y.dst""".stripMargin,
+    "cy_degree" ->
+      s"""WITH $sqlGraph
+         |SELECT src AS id, count(*) AS n_events,
+         |  CAST(min(ts) AS BIGINT) AS first_ts, CAST(max(ts) AS BIGINT) AS last_ts
+         |FROM ev GROUP BY src""".stripMargin,
     // latest-at-t per node over the property event log: arg_max by ts
     // (event times are unique: ts = o_orderkey), t = half the max ts
     "g_node_prop_at" ->
@@ -668,6 +683,15 @@ object Queries2 {
     "d_lsh_capped" -> lshCandSql(withJaccard = false, maxBucketSize = 3L),
     "d_minhash_jaccard" -> lshCandSql(withJaccard = true),
     "d_simhash" -> simhashSql,
+    // cross-product cosine pairs; filter on the UNROUNDED cosine like the
+    // Spark side, round only for output
+    "d_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+        |        list_dot_product(l.v, r.v) /
+        |          (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) AS c
+        |      FROM v l JOIN v r ON l.vec_id < r.vec_id)
+        |SELECT a, b, round(c, 6) AS cosine FROM p WHERE c >= 0.3""".stripMargin,
     // TF-IDF search: same whitespace tokenizer, score = sum tf*ln((N+1)/(df+1))
     "t_search" ->
       """WITH toks AS (

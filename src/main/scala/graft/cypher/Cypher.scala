@@ -18,10 +18,14 @@ import graft.graph.LinkGraph
   *    (the reference binds edge labels to layer tables,
   *    lib.rs:383-401, parser/mod.rs:1473);
   *  - inline property maps `{src: 0}` (lib.rs:401);
-  *  - WHERE with =, <>, <, <=, >, >=, AND, OR, NOT over literals,
-  *    node/edge variables and their properties;
-  *  - RETURN items (var, var.prop, aliases), RETURN *, DISTINCT,
-  *    count(*), ORDER BY ... ASC|DESC, LIMIT.
+  *  - WHERE with =, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS,
+  *    AND, OR, NOT over literals, node/edge variables and their
+  *    properties (lib.rs:410,565);
+  *  - RETURN items (var, var.prop, aliases, bare edge var = the whole
+  *    event row, type(e) = layer; lib.rs:241-255), RETURN *, DISTINCT,
+  *    ORDER BY ... ASC|DESC, LIMIT;
+  *  - aggregates count(*)/count(x)/sum/min/max/avg/collect with Cypher
+  *    implicit grouping (non-aggregate RETURN items become the keys).
   *
   * Bindings: an edge variable binds one exploded edge EVENT row (the
   * reference returns one row per event, lib.rs:241-255) with columns
@@ -42,7 +46,9 @@ object Cypher {
   case class And(l: Expr, r: Expr) extends Expr
   case class Or(l: Expr, r: Expr) extends Expr
   case class Not(e: Expr) extends Expr
-  case object CountStar extends Expr
+  /** Function call: aggregates (count/sum/min/max/avg/collect — count(*)
+    * has arg None) or the scalar type(e) = edge layer. */
+  case class Fn(name: String, arg: Option[Expr]) extends Expr
 
   case class NodePat(v: Option[String], label: Option[String], props: Map[String, Lit])
   case class EdgePat(v: Option[String], label: Option[String], props: Map[String, Lit],
@@ -174,24 +180,32 @@ object Cypher {
 
     private def operand(): Expr = peek match {
       case Some(TPunct("(")) => punct("("); val e = expr(); expectPunct(")"); e
-      case Some(TIdent(s)) if s.equalsIgnoreCase("count") =>
-        pos += 1; expectPunct("("); expectPunct("*"); expectPunct(")"); CountStar
       case Some(TIdent(s)) if s.equalsIgnoreCase("not") => pos += 1; Not(operand())
       case Some(_: TNum) | Some(_: TStr) => literal()
       case Some(TIdent(s)) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => literal()
       case Some(_: TIdent) =>
         val v = ident()
-        if (punct(".")) Prop(v, ident()) else VarRef(v)
+        if (punct("(")) { // function call: count(*) / count(x) / sum / type / ...
+          if (v.equalsIgnoreCase("count") && punct("*")) { expectPunct(")"); Fn("count", None) }
+          else { val a = expr(); expectPunct(")"); Fn(v.toLowerCase, Some(a)) }
+        }
+        else if (punct(".")) Prop(v, ident()) else VarRef(v)
       case t => throw new IllegalArgumentException(s"unexpected token $t")
     }
 
     private def cmp(): Expr = {
       val l = operand()
-      val op = peek match {
-        case Some(TPunct(p)) if Set("=", "<>", "<", "<=", ">", ">=").contains(p) => pos += 1; Some(p)
-        case _ => None
+      peek match {
+        case Some(TPunct(p)) if Set("=", "<>", "<", "<=", ">", ">=").contains(p) =>
+          pos += 1; Cmp(p, l, operand())
+        case Some(TIdent(s)) if s.equalsIgnoreCase("STARTS") =>
+          pos += 1; expectKw("WITH"); Cmp("starts", l, operand())
+        case Some(TIdent(s)) if s.equalsIgnoreCase("ENDS") =>
+          pos += 1; expectKw("WITH"); Cmp("ends", l, operand())
+        case Some(TIdent(s)) if s.equalsIgnoreCase("CONTAINS") =>
+          pos += 1; Cmp("contains", l, operand())
+        case _ => l
       }
-      op.map(o => Cmp(o, l, operand())).getOrElse(l)
     }
 
     private def andExpr(): Expr = {
@@ -365,22 +379,60 @@ object Cypher {
       case Cmp("<=", l, r) => exprCol(l) <= exprCol(r)
       case Cmp(">", l, r) => exprCol(l) > exprCol(r)
       case Cmp(">=", l, r) => exprCol(l) >= exprCol(r)
+      case Cmp("starts", l, r) => exprCol(l).startsWith(exprCol(r))
+      case Cmp("ends", l, r) => exprCol(l).endsWith(exprCol(r))
+      case Cmp("contains", l, r) => exprCol(l).contains(exprCol(r))
       case Cmp(op, _, _) => throw new IllegalArgumentException(s"unsupported operator $op")
       case And(l, r) => exprCol(l) && exprCol(r)
       case Or(l, r) => exprCol(l) || exprCol(r)
       case Not(x) => !exprCol(x)
-      case CountStar => throw new IllegalArgumentException("count(*) only valid in RETURN")
+      case Fn("type", Some(VarRef(v))) if edgeVars.contains(v) => col(s"${v}_layer")
+      case Fn(n, _) => throw new IllegalArgumentException(
+        s"function $n only valid as a top-level RETURN item")
     }
 
-    q.where.foreach(w => acc = acc.filter(exprCol(w)))
+    q.where.foreach { w =>
+      // exprCol may lazily join the node table onto acc — build the
+      // predicate BEFORE reading acc for the filter
+      val pred = exprCol(w)
+      acc = acc.filter(pred)
+    }
 
-    val isCount = q.items.exists { case RetItem(CountStar, _) => true; case _ => false }
+    val aggFns = Set("count", "sum", "min", "max", "avg", "collect")
+    def topAgg(e: Expr): Boolean = e match {
+      case Fn(n, _) => aggFns(n)
+      case _ => false
+    }
+    def aggColOf(e: Expr): Column = e match {
+      case Fn("count", None) => count(lit(1))
+      case Fn("count", Some(VarRef(v))) if edgeVars.contains(v) => count(col(s"${v}_src"))
+      case Fn("count", Some(a)) => count(exprCol(a))
+      case Fn("sum", Some(a)) => sum(exprCol(a))
+      case Fn("min", Some(a)) => min(exprCol(a))
+      case Fn("max", Some(a)) => max(exprCol(a))
+      case Fn("avg", Some(a)) => avg(exprCol(a))
+      case Fn("collect", Some(a)) => collect_list(exprCol(a))
+      case other => throw new IllegalArgumentException(s"unsupported aggregate $other")
+    }
+    def itemName(e: Expr, alias: Option[String], i: Int): String = alias.getOrElse(e match {
+      case Prop(v, p) => s"${v}_$p"
+      case VarRef(v) => s"${v}_vid"
+      case Fn("count", _) => "count"
+      case Fn(n, _) => n
+      case _ => s"col$i"
+    })
+
+    val hasAgg = q.items.exists(it => topAgg(it.expr))
     var out: DataFrame =
-      if (isCount) {
-        require(q.items.forall { case RetItem(CountStar, _) => true; case _ => false },
-          "count(*) cannot mix with plain return items (no grouping support)")
-        val alias = q.items.head.alias.getOrElse("count")
-        acc.agg(count(lit(1)).as(alias))
+      if (hasAgg) {
+        // Cypher implicit grouping: non-aggregate RETURN items are the keys
+        val named = q.items.zipWithIndex.map { case (RetItem(e, alias), i) =>
+          (e, itemName(e, alias, i))
+        }
+        val keyCols = named.collect { case (e, n) if !topAgg(e) => exprCol(e).as(n) }
+        val aggCols = named.collect { case (e, n) if topAgg(e) => aggColOf(e).as(n) }
+        val grouped = acc.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        grouped.select(named.map { case (_, n) => col(n) }: _*) // RETURN item order
       } else if (q.returnAll) {
         // every named binding's columns: node vids (+ joined node cols) and
         // full edge rows, in binding order
@@ -393,13 +445,15 @@ object Cypher {
         val eCols = edgeVars.toSeq.filter(kv => !synth(kv._1)).flatMap(_._2.map(col))
         acc.select((nodeCols ++ eCols): _*)
       } else {
-        val cols = q.items.zipWithIndex.map { case (RetItem(e, alias), i) =>
-          val name = alias.getOrElse(e match {
-            case Prop(v, p) => s"${v}_$p"
-            case VarRef(v) => s"${v}_vid"
-            case _ => s"col$i"
-          })
-          exprCol(e).as(name)
+        val cols = q.items.zipWithIndex.flatMap { case (RetItem(e, alias), i) =>
+          e match {
+            case VarRef(v) if edgeVars.contains(v) =>
+              // bare edge variable: the whole event row (reference
+              // `return type(e), e` shape); aliasing a row is ambiguous
+              require(alias.isEmpty, s"cannot alias whole edge row $v — project its properties")
+              edgeVars(v).map(col)
+            case _ => Seq(exprCol(e).as(itemName(e, alias, i)))
+          }
         }
         acc.select(cols: _*)
       }

@@ -35,6 +35,11 @@ object Ingest {
     out
   }
 
+  /** Seq assignment over an already-persisted raw-links table (probe /
+    * reuse entry; edgeEvents = rawLinks + this). */
+  private[graft] def edgeEventsFromRaw(raw: DataFrame): Dataset[EdgeEvent] =
+    withSeq(raw).as(org.apache.spark.sql.Encoders.product[EdgeEvent])
+
   /** Href extraction without seq assignment: (src_url, dst_url, ts, link_idx). */
   def rawLinks(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession

@@ -126,4 +126,50 @@ class CypherSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(n == 2L) // weights 4.0 and 6.0 on layer a
   }
+
+  test("return type(e), e — layer + whole event row (lib.rs:692-720 shape)") {
+    val df = Cypher.run(g, "match ()-[e]->() return type(e), e")
+    assert(df.columns.head == "type" || df.columns.contains("e_layer"))
+    assert(df.columns.toSet ==
+      Set("type", "e_src", "e_dst", "e_ts", "e_seq", "e_layer", "e_weight"))
+    // type(e) duplicates the layer column
+    assert(df.filter(col("type") =!= col("e_layer")).count() == 0)
+  }
+
+  test("count(n) over a node variable (lib.rs:597 match (n) return count(n))") {
+    assert(Cypher.run(g, "match (n) return count(n)").head().getLong(0) == 4L)
+  }
+
+  test("ENDS WITH / STARTS WITH / CONTAINS string predicates (lib.rs:565)") {
+    val e = Cypher.run(g, "match (a)-[x]->() WHERE a.name ENDS WITH 'o' RETURN DISTINCT a.id AS id")
+      .as[Long].collect().toSet
+    assert(e == Set(0L, 2L)) // zero, two
+    val s = Cypher.run(g, "match (a)-[x]->() WHERE a.name STARTS WITH 'th' RETURN DISTINCT a.id AS id")
+      .as[Long].collect().toSet
+    assert(s == Set(3L)) // three
+    val c = Cypher.run(g, "match (a)-[x]->() WHERE a.name CONTAINS 'er' RETURN DISTINCT a.id AS id")
+      .as[Long].collect().toSet
+    assert(c == Set(0L)) // zero
+  }
+
+  test("implicit grouping: non-aggregate RETURN items become keys") {
+    val rows = Cypher.run(g,
+      "MATCH (a)-[e]->(b) RETURN a.id AS id, count(*) AS deg, sum(e.weight) AS w ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((0L, 2L, 7.0), (1L, 1L, 1.0), (2L, 2L, 9.0), (3L, 1L, 4.0)))
+  }
+
+  test("min/max/avg aggregates with implicit grouping by layer") {
+    val rows = Cypher.run(g,
+      "MATCH ()-[e]->() RETURN e.layer AS l, min(e.weight) AS mn, max(e.weight) AS mx, avg(e.ts) AS at ORDER BY l")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(rows == Seq(("a", 1.0, 6.0, 3.5), ("b", 3.0, 5.0, 3.5)))
+  }
+
+  test("collect aggregate gathers values per group") {
+    val got = Cypher.run(g,
+      "MATCH (a)-[e]->(b) RETURN a.id AS id, collect(e.ts) AS ts")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).sorted)).toMap
+    assert(got(0L) == Seq(1L, 3L) && got(2L) == Seq(4L, 6L))
+  }
 }

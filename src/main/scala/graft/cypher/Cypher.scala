@@ -13,14 +13,17 @@ import graft.graph.LinkGraph
   *
   * Supported:
   *  - MATCH with chained and comma-separated patterns, both arrow
-  *    directions, anonymous or named nodes/edges;
+  *    directions plus undirected `-[e]-` (each event in both
+  *    orientations, RelPattern::undirected), anonymous or named
+  *    nodes/edges;
   *  - edge labels = layer filters, node labels = node_type filters
   *    (the reference binds edge labels to layer tables,
   *    lib.rs:383-401, parser/mod.rs:1473);
   *  - inline property maps `{src: 0}` (lib.rs:401);
   *  - WHERE with =, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS,
-  *    AND, OR, NOT over literals, node/edge variables and their
-  *    properties (lib.rs:410,565);
+  *    IS [NOT] NULL, AND, OR, NOT (Cypher precedence: looser than
+  *    comparisons) over literals, node/edge variables and their
+  *    properties (lib.rs:410,565; parser fixtures mod.rs:1710-1790);
   *  - RETURN items (var, var.prop, aliases, bare edge var = the whole
   *    event row, type(e) = layer; lib.rs:241-255), RETURN *, DISTINCT,
   *    ORDER BY ... ASC|DESC, LIMIT;
@@ -49,10 +52,15 @@ object Cypher {
   /** Function call: aggregates (count/sum/min/max/avg/collect — count(*)
     * has arg None) or the scalar type(e) = edge layer. */
   case class Fn(name: String, arg: Option[Expr]) extends Expr
+  case class IsNull(e: Expr, not: Boolean) extends Expr
 
   case class NodePat(v: Option[String], label: Option[String], props: Map[String, Lit])
+  /** `undirected = true` for `-[e]-`: the pattern matches each event in
+    * both orientations (two rows, standard Cypher semantics); `e.src`/
+    * `e.dst` keep the STORAGE endpoints, only the pattern-endpoint
+    * binding flips (reference RelPattern::undirected). */
   case class EdgePat(v: Option[String], label: Option[String], props: Map[String, Lit],
-                     leftToRight: Boolean)
+                     leftToRight: Boolean, undirected: Boolean = false)
   case class Chain(first: NodePat, hops: Seq[(EdgePat, NodePat)])
   case class RetItem(expr: Expr, alias: Option[String])
   case class Query(chains: Seq[Chain], where: Option[Expr], distinct: Boolean,
@@ -146,7 +154,7 @@ object Cypher {
       NodePat(v, label, props)
     }
 
-    /** `-[e:L {..}]->` or `<-[e:L {..}]-` */
+    /** `-[e:L {..}]->`, `-[e:L {..}]-` (undirected) or `<-[e:L {..}]-` */
     private def edgePat(): Option[EdgePat] = {
       if (punct("-")) {
         expectPunct("[")
@@ -154,8 +162,8 @@ object Cypher {
         val label = if (punct(":")) Some(ident()) else None
         val props = propMap()
         expectPunct("]")
-        expectPunct("->")
-        Some(EdgePat(v, label, props, leftToRight = true))
+        if (punct("->")) Some(EdgePat(v, label, props, leftToRight = true))
+        else { expectPunct("-"); Some(EdgePat(v, label, props, leftToRight = true, undirected = true)) }
       } else if (punct("<-")) {
         expectPunct("[")
         val v = peek match { case Some(TIdent(s)) => pos += 1; Some(s); case _ => None }
@@ -180,7 +188,6 @@ object Cypher {
 
     private def operand(): Expr = peek match {
       case Some(TPunct("(")) => punct("("); val e = expr(); expectPunct(")"); e
-      case Some(TIdent(s)) if s.equalsIgnoreCase("not") => pos += 1; Not(operand())
       case Some(_: TNum) | Some(_: TStr) => literal()
       case Some(TIdent(s)) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => literal()
       case Some(_: TIdent) =>
@@ -204,13 +211,26 @@ object Cypher {
           pos += 1; expectKw("WITH"); Cmp("ends", l, operand())
         case Some(TIdent(s)) if s.equalsIgnoreCase("CONTAINS") =>
           pos += 1; Cmp("contains", l, operand())
+        case Some(TIdent(s)) if s.equalsIgnoreCase("IS") => // IS [NOT] NULL postfix
+          pos += 1
+          val neg = kw("NOT")
+          expectKw("NULL")
+          IsNull(l, neg)
         case _ => l
       }
     }
 
+    /** NOT binds looser than comparisons, tighter than AND (Cypher
+      * precedence: `NOT a.x ENDS WITH 'z'` negates the comparison —
+      * reference parser fixture mod.rs:1790). */
+    private def notExpr(): Expr = peek match {
+      case Some(TIdent(s)) if s.equalsIgnoreCase("NOT") => pos += 1; Not(notExpr())
+      case _ => cmp()
+    }
+
     private def andExpr(): Expr = {
-      var l = cmp()
-      while (kw("AND")) l = And(l, cmp())
+      var l = notExpr()
+      while (kw("AND")) l = And(l, notExpr())
       l
     }
 
@@ -289,7 +309,16 @@ object Cypher {
       pat.props.foreach { case (k, Lit(v)) => df = df.filter(col(k) === lit(v)) }
       val cols = df.columns.toSeq
       edgeVars(ev) = cols.map(c => s"${ev}_$c")
-      df.select(cols.map(c => col(c).as(s"${ev}_$c")): _*)
+      val renamed = df.select(cols.map(c => col(c).as(s"${ev}_$c")): _*)
+      if (pat.undirected) {
+        // both orientations as extra pattern-endpoint columns; the real
+        // `<e>_src/_dst` keep storage endpoints for property access
+        val fwd = renamed.withColumn(s"${ev}__a", col(s"${ev}_src"))
+          .withColumn(s"${ev}__b", col(s"${ev}_dst"))
+        val rev = renamed.withColumn(s"${ev}__a", col(s"${ev}_dst"))
+          .withColumn(s"${ev}__b", col(s"${ev}_src"))
+        fwd.unionByName(rev)
+      } else renamed
     }
 
     // node label/prop constraints and name/prop references need the node
@@ -324,23 +353,29 @@ object Cypher {
         var leftNode = ch.first
         for ((edge, rightNode) <- ch.hops) {
           val ev = edge.v.getOrElse(freshEdge())
-          val (srcPat, dstPat) = if (edge.leftToRight) (leftNode, rightNode) else (rightNode, leftNode)
+          // the columns the chain's left/right nodes bind to: storage
+          // src/dst for directed arrows, the orientation-exploded __a/__b
+          // pair for undirected patterns
+          val (leftCol, rightCol) =
+            if (edge.undirected) (s"${ev}__a", s"${ev}__b")
+            else if (edge.leftToRight) (s"${ev}_src", s"${ev}_dst")
+            else (s"${ev}_dst", s"${ev}_src")
           val df = edgeFrame(ev, edge)
           // shared node vars become equi-join conditions against the new
           // frame; bindings only take effect after conds are computed
           val conds = Seq.newBuilder[Column]
           val preBound = bound.toMap
-          srcPat.v.foreach { v => if (preBound.contains(v)) conds += col(preBound(v)) === col(s"${ev}_src") }
-          dstPat.v.foreach { v => if (preBound.contains(v)) conds += col(preBound(v)) === col(s"${ev}_dst") }
+          leftNode.v.foreach { v => if (preBound.contains(v)) conds += col(preBound(v)) === col(leftCol) }
+          rightNode.v.foreach { v => if (preBound.contains(v)) conds += col(preBound(v)) === col(rightCol) }
           // a pattern like (b)-[e]->(b) self-constrains the new frame
           // directly (it must hold even when this is the first frame)
           val df2 =
-            if (srcPat.v.isDefined && srcPat.v == dstPat.v && !preBound.contains(srcPat.v.get))
-              df.filter(col(s"${ev}_src") === col(s"${ev}_dst"))
+            if (leftNode.v.isDefined && leftNode.v == rightNode.v && !preBound.contains(leftNode.v.get))
+              df.filter(col(leftCol) === col(rightCol))
             else df
           mergeOn(df2, conds.result())
-          srcPat.v.foreach(v => if (!bound.contains(v)) bound(v) = s"${ev}_src")
-          dstPat.v.foreach(v => if (!bound.contains(v)) bound(v) = s"${ev}_dst")
+          leftNode.v.foreach(v => if (!bound.contains(v)) bound(v) = leftCol)
+          rightNode.v.foreach(v => if (!bound.contains(v)) bound(v) = rightCol)
           leftNode = rightNode
         }
       }
@@ -387,6 +422,8 @@ object Cypher {
       case Or(l, r) => exprCol(l) || exprCol(r)
       case Not(x) => !exprCol(x)
       case Fn("type", Some(VarRef(v))) if edgeVars.contains(v) => col(s"${v}_layer")
+      case IsNull(x, false) => exprCol(x).isNull
+      case IsNull(x, true) => exprCol(x).isNotNull
       case Fn(n, _) => throw new IllegalArgumentException(
         s"function $n only valid as a top-level RETURN item")
     }

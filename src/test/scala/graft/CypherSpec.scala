@@ -166,6 +166,37 @@ class CypherSpec extends AnyFunSuite {
     assert(rows == Seq(("a", 1.0, 6.0, 3.5), ("b", 3.0, 5.0, 3.5)))
   }
 
+  test("undirected pattern -[e]- matches each event in both orientations") {
+    assert(Cypher.run(g, "MATCH (a)-[e]-(b) RETURN count(*) AS n").head().getLong(0) == 12L)
+    // endpoint binding flips but e.src keeps the storage endpoint
+    val rows = Cypher.run(g, "MATCH (a)-[e]-(b) WHERE a.id = 1 RETURN e.src AS s, e.dst AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((0L, 1L), (1L, 2L))) // 0->1 seen from a=1, 1->2 from a=1
+    // chaining through an undirected hop: neighbours of 1 either way
+    val nb = Cypher.run(g, "MATCH (a)-[e]-(b) WHERE a.id = 1 RETURN DISTINCT b.id AS b")
+      .as[Long].collect().toSet
+    assert(nb == Set(0L, 2L))
+  }
+
+  test("NOT binds looser than comparisons (parser fixture mod.rs:1790)") {
+    val ids = Cypher.run(g,
+      "match (a)-[x]->() WHERE NOT a.name ENDS WITH 'o' RETURN DISTINCT a.id AS id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 3L)) // one, three (zero & two end with 'o')
+  }
+
+  test("IS NULL / IS NOT NULL over left-joined node props (mod.rs:1710)") {
+    val withProps = g.withNodeProps(Seq((0L, 10.0), (2L, 20.0)).toDF("vid", "score"))
+    val noScore = Cypher.run(withProps,
+      "MATCH (a)-[e]->() WHERE a.score IS NULL RETURN DISTINCT a.id AS id")
+      .as[Long].collect().toSet
+    assert(noScore == Set(1L, 3L))
+    val scored = Cypher.run(withProps,
+      "MATCH (a)-[e]->() WHERE a.score IS NOT NULL RETURN DISTINCT a.id AS id")
+      .as[Long].collect().toSet
+    assert(scored == Set(0L, 2L))
+  }
+
   test("collect aggregate gathers values per group") {
     val got = Cypher.run(g,
       "MATCH (a)-[e]->(b) RETURN a.id AS id, collect(e.ts) AS ts")

@@ -224,10 +224,14 @@ object Ann {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val asg = ivfAssignments(emb, cents, idCol, vecCol)
     val v = emb.select(col(idCol), toD(col(vecCol)).as("v"))
+    // zip the ONE scores array with centroid indices — embedding the full
+    // score array once per centroid instead would build an O(nlist²)
+    // expression tree (the same blow-up class as the pre-r4 LSH plane
+    // literals)
     val sc = centroidScores(vecCol, cents)
     val scored = array_sort(
-      array(cents.indices.map(i =>
-        struct(element_at(sc, i + 1).as("score"), lit(i).as("cid"))): _*),
+      zip_with(sc, typedlit(cents.indices.toArray),
+        (s, i) => struct(s.as("score"), i.as("cid"))),
       (l, r) => when(l.getField("score") > r.getField("score"), lit(-1))
         .when(l.getField("score") < r.getField("score"), lit(1))
         .otherwise((l.getField("cid") - r.getField("cid")).cast("int")))

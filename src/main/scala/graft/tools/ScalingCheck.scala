@@ -19,9 +19,12 @@ object ScalingCheck {
     val master =
       if (cluster) s"local-cluster[${math.max(1, cores / cpw)},$cpw,$memMb]"
       else s"local[$cores]"
+    // SCALE_PARTS_MULT: shuffle partitions = cores × mult (mult > 1 trades
+    // per-task fixed cost for finer load balance on the skewed tail)
+    val partsMult = sys.env.getOrElse("SCALE_PARTS_MULT", "1").toInt
     val b = SparkSession.builder().master(master)
       .appName(s"scale-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", (cores * partsMult).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       // spinning-disk /tmp serialises 32 concurrent shuffle writers;

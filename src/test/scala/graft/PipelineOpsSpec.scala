@@ -177,6 +177,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs(Ann.ivfTopK(emb, queries, 5, cents, nprobe = 16)) == exact)
   }
 
+  test("IVF search at 384 dims x 64 lists plans in bounded time (zip_with probe ranking)") {
+    // probe selection zips the ONE scores array with indices; embedding
+    // the score array once per centroid would be O(nlist^2) expression
+    // nodes (the same blow-up class the LSH planes hit pre-r4)
+    val dims = 384
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => (((i * 37 + d) % 19) - 9).toFloat / 9f))
+    }.toDF("vec_id", "embedding")
+    val cents = Array.tabulate(64, dims)((c, d) => (((c * 13 + d) % 23) - 11).toDouble / 11.0)
+    val t0 = System.nanoTime()
+    val rows = Ann.ivfTopK(vecs, spark.range(3).toDF("id"), 5, cents, nprobe = 8).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.nonEmpty)
+    assert(secs < 60.0, f"high-dim IVF search took $secs%.1f s")
+  }
+
   test("LSH bucketing at 384 dims x 128 planes plans in bounded time (one plane-matrix literal)") {
     // the round-3 shape inlined planes x dims `lit` nodes into one
     // projection (~50k expression nodes at this config) — analysis/codegen

@@ -213,19 +213,25 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs over a full cross product (baseline;
-    * the LSH-bucketed scale path is graft.sim.Ann.annCandidates). */
+    * the bucketed scale paths are graft.sim.Ann's LSH tables / IVF cells).
+    * Norms are computed ONCE per row before the join (not per pair — at n
+    * rows that is n vs n² sqrt(dot(v,v)) evaluations, bit-identical
+    * values either way), and the pair dot is the codegen DotProduct
+    * (same index-order summation as the lambda formulation, ~10× faster:
+    * the r4 bench caught the HOF version at 62 s on 4M pairs). */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    def dot(a: Column, b: Column): Column =
+      graft.functions.VectorFunctions.dot_product(a, b)
     val toD = transform(col(vecCol), (x: Column) => x.cast("double"))
     val v = emb.select(col(idCol), toD.as("v"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
-    val l = v.select(col(idCol).as("a"), col("v").as("va"))
-    val r = v.select(col(idCol).as("b"), col("v").as("vb"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val l = v.select(col(idCol).as("a"), col("v").as("va"), col("n").as("na"))
+    val r = v.select(col(idCol).as("b"), col("v").as("vb"), col("n").as("nb"))
     l.join(r, col("a") < col("b"))
       .select(col("a"), col("b"),
-        (dot(col("va"), col("vb")) /
-          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb"))))).as("cosine"))
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
   }

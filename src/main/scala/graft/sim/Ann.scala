@@ -195,9 +195,12 @@ object Ann {
     var cents = seedRows.map(_.getSeq[Double](1).toArray)
     val dims = cents.head.length
     for (_ <- 0 until iters) {
-      val asg = ivfAssignments(emb, cents, idCol, vecCol)
-      val means = emb.join(asg, idCol)
-        .select(col("list_id"), posexplode(toD(col(vecCol))).as(Seq("d", "x")))
+      // assignment folded inline — one scan, no self-join against the
+      // assignment projection
+      val sc = centroidScores(vecCol, cents)
+      val means = emb
+        .select((array_position(sc, array_max(sc)) - 1).cast("int").as("list_id"),
+          posexplode(toD(col(vecCol))).as(Seq("d", "x")))
         .groupBy(col("list_id"), col("d")).agg(avg(col("x")).as("m"))
         .collect()
       val next = cents.map(_.clone())

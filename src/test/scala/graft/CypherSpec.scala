@@ -178,6 +178,18 @@ class CypherSpec extends AnyFunSuite {
     assert(nb == Set(0L, 2L))
   }
 
+  test("mixed undirected + directed hops chain through the shared node") {
+    // (a)-[e1]-(b)-[e2]->(c): b reachable from a either way, then a
+    // directed hop out of b. Independently recomputed with DataFrame ops.
+    val got = Cypher.run(g,
+      "MATCH (a)-[e1]-(b)-[e2]->(c) RETURN a.id AS a, b.id AS b, c.id AS c")
+    val e = g.edges.select($"src", $"dst")
+    val und = e.union(e.select($"dst", $"src")).toDF("a", "b")
+    val exp = und.join(e.toDF("b", "c"), "b").select("a", "b", "c")
+    assert(got.count() == exp.count())
+    assert(got.collect().map(_.toSeq).toSet == exp.collect().map(_.toSeq).toSet)
+  }
+
   test("NOT binds looser than comparisons (parser fixture mod.rs:1790)") {
     val ids = Cypher.run(g,
       "match (a)-[x]->() WHERE NOT a.name ENDS WITH 'o' RETURN DISTINCT a.id AS id")

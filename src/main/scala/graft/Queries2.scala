@@ -31,6 +31,25 @@ object Queries2 {
   private val lshCandCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** IVF centroid matrix memoized per (session, sfDir): e_ann_ivf and
+    * d_ivf_neardup share ONE training run, and the builder dumps the
+    * matrix to the aux dir so both DuckDB oracles replay assignment over
+    * the same doubles (k-means float bits depend on aggregation order, so
+    * the dump — not retraining — is the oracle contract). */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[Double]]]
+
+  private def ivfCents(s: SparkSession, d: String): Array[Array[Double]] =
+    ivfCache.getOrElseUpdate((s, d), {
+      val cents = Ann.ivfTrain(tbl(s, d, "embeddings"), nlist = 16, iters = 4)
+      import s.implicits._
+      s.createDataset(cents.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) })
+        .toDF("cid", "c")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${Verify.AuxDir}/ivf_centroids.parquet")
+      cents
+    })
+
   /** Motif census memoized per (session, sfDir): g_temporal_motifs and
     * g_local_motifs share one triangle enumeration + counter sweep. */
   private val motifCensusCache =
@@ -214,20 +233,32 @@ object Queries2 {
       import s.implicits._
       Ann.annTopK(e, s.range(10).toDF("id"), k = 5, planes = 8)
     }),
-    // IVF ANN: k-means float bits depend on aggregation order, so the
-    // trained centroid matrix is dumped to the aux dir (like the Louvain
-    // partition) and the oracle replays assignment + probing + cosine
-    // top-k over the SAME doubles — list_dot_product's index-order
-    // summation is bit-equal to the codegen DotProduct.
+    // IVF ANN over the memoized, aux-dumped centroid matrix (see
+    // ivfCents): the oracle replays assignment + probing + cosine top-k
+    // over the SAME doubles — list_dot_product's index-order summation is
+    // bit-equal to the codegen DotProduct.
     "e_ann_ivf" -> ((s, d) => {
       val e = tbl(s, d, "embeddings")
-      val cents = Ann.ivfTrain(e, nlist = 16, iters = 4)
       import s.implicits._
-      s.createDataset(cents.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) })
-        .toDF("cid", "c")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"${Verify.AuxDir}/ivf_centroids.parquet")
-      Ann.ivfTopK(e, s.range(10).toDF("id"), k = 5, cents, nprobe = 3)
+      Ann.ivfTopK(e, s.range(10).toDF("id"), k = 5, ivfCents(s, d), nprobe = 3)
+    }),
+    // IVF-cell near-dup candidates + cosine verify — the bucketed scale
+    // path for the d_embed_neardup cross product, hot-cell cap exercised
+    // (cells are disjoint; capped cells drop whole, like the LSH guard)
+    "d_ivf_neardup" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      graft.functions.VectorFunctions.register(s)
+      def dot(a: Column, b: Column) = graft.functions.VectorFunctions.dot_product(a, b)
+      val v = e.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      Ann.ivfCandidates(e, ivfCents(s, d), maxCellSize = 50)
+        .join(v.select(col("vec_id").as("a"), col("v").as("va"), col("n").as("na")), Seq("a"))
+        .join(v.select(col("vec_id").as("b"), col("v").as("vb"), col("n").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
+        .filter(col("c") >= 0.3)
+        .select(col("a"), col("b"), round(col("c"), 6).as("cosine"))
     }),
     "t_search" -> ((s, d) => // inverted-index TF-IDF top-20
       graft.text.Search.search(tbl(s, d, "documents"),
@@ -675,6 +706,31 @@ object Queries2 {
          |      FROM sims)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
          |FROM r WHERE rank <= 5""".stripMargin,
+    // IVF-cell near-dup: same assignment CTEs as e_ann_ivf, then
+    // within-cell pairs under the <=50 cell cap, cosine >= 0.3 (filter on
+    // the unrounded value like the Spark side; 0.3 sits >=5.9e-7 from
+    // every pair at sf<=0.1 — see d_embed_neardup)
+    "d_ivf_neardup" ->
+      s"""WITH cent AS (SELECT cid, c
+         |  FROM read_parquet('${Verify.AuxDir}/ivf_centroids.parquet/*.parquet')),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT v.vec_id, cent.cid,
+         |         list_dot_product(v.v, cent.c) / sqrt(list_dot_product(cent.c, cent.c)) AS score
+         |       FROM v, cent),
+         |rk AS (SELECT vec_id, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+         |       FROM sc),
+         |asg AS (SELECT vec_id, cid AS list_id FROM rk WHERE rn = 1),
+         |sz AS (SELECT list_id, count(*) AS n FROM asg GROUP BY 1),
+         |kept AS (SELECT a.vec_id, a.list_id FROM asg a
+         |         JOIN sz ON sz.list_id = a.list_id AND sz.n <= 50),
+         |p AS (SELECT l.vec_id AS a, r.vec_id AS b FROM kept l
+         |      JOIN kept r ON r.list_id = l.list_id AND l.vec_id < r.vec_id),
+         |cs AS (SELECT p.a, p.b,
+         |         list_dot_product(x.v, y.v) /
+         |           (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS c
+         |       FROM p JOIN v x ON x.vec_id = p.a JOIN v y ON y.vec_id = p.b)
+         |SELECT a, b, round(c, 6) AS cosine FROM cs WHERE c >= 0.3""".stripMargin,
     "t_minhash" ->
       s"""WITH $minhashShSql,
          |${minhashSigSql(16)}

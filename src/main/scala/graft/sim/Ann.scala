@@ -215,6 +215,30 @@ object Ann {
     cents
   }
 
+  /** Near-dup candidate pairs within IVF cells — the bucketed scale path
+    * for Dedup.embeddingNearDups' cross product: only pairs co-assigned
+    * to a Voronoi cell are emitted (cells are disjoint, so no cross-cell
+    * dedup is needed). `maxCellSize` is the hot-cell guard mirroring
+    * Dedup.lshCandidates' bucket cap: a degenerate cell (boilerplate /
+    * zero vectors pile-up) would otherwise quadratically blow up one
+    * join key at web scale; capped cells are dropped whole (conservative,
+    * like the LSH cap). Returns (a, b) with a < b. */
+  def ivfCandidates(emb: DataFrame, cents: Array[Array[Double]],
+                    maxCellSize: Long = Long.MaxValue,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = ivfAssignments(emb, cents, idCol, vecCol)
+    val kept =
+      if (maxCellSize == Long.MaxValue) asg
+      else {
+        val sizes = asg.groupBy(col("list_id")).agg(count(lit(1)).as("cell_n"))
+        asg.join(broadcast(sizes.filter(col("cell_n") <= maxCellSize)), Seq("list_id"))
+          .select(col(idCol), col("list_id"))
+      }
+    val l = kept.select(col("list_id"), col(idCol).as("a"))
+    val r = kept.select(col("list_id"), col(idCol).as("b"))
+    l.join(r, Seq("list_id")).filter(col("a") < col("b")).select(col("a"), col("b"))
+  }
+
   /** IVF search against a trained centroid matrix: queries probe their
     * nprobe nearest cells (an array_sort projection — no shuffle on the
     * probe selection), exact cosine rank within the probed cells' members.

@@ -177,6 +177,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs(Ann.ivfTopK(emb, queries, 5, cents, nprobe = 16)) == exact)
   }
 
+  test("IVF near-dup candidates: within-cell pairs, hot-cell cap drops whole cells") {
+    val cents = Ann.ivfTrain(embeddings, nlist = 2, iters = 3)
+    // two 4-member cells -> 2 * C(4,2) = 12 pairs uncapped
+    val all = Ann.ivfCandidates(embeddings, cents).collect()
+    assert(all.length == 12)
+    assert(all.forall(r => r.getLong(0) < r.getLong(1)))
+    // cap below the cell size drops BOTH cells whole (conservative guard)
+    assert(Ann.ivfCandidates(embeddings, cents, maxCellSize = 3).isEmpty)
+    // cap at the cell size keeps everything
+    assert(Ann.ivfCandidates(embeddings, cents, maxCellSize = 4).count() == 12)
+  }
+
   test("IVF search at 384 dims x 64 lists plans in bounded time (zip_with probe ranking)") {
     // probe selection zips the ONE scores array with indices; embedding
     // the score array once per centroid would be O(nlist^2) expression

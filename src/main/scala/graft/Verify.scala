@@ -11,6 +11,14 @@ object Verify {
     * the DuckDB side has no table registry for non-sfDir tables. */
   val AuxDir = "/root/repo/target/graft_aux"
 
+  /** True only inside a Verify run (set by main). Queries whose results
+    * the oracle replays from an aux dump (Louvain partition, IVF
+    * centroids) write the dump ONLY under Verify: a later Bench run —
+    * different session/partitioning, possibly a different sfDir — would
+    * otherwise overwrite the dump the pending oracle check reads and turn
+    * the gate spuriously red. */
+  def isVerifyRun: Boolean = sys.props.get("graft.isVerify").contains("1")
+
   def dumpAux(spark: SparkSession): Unit = {
     val g = Queries.crawlGraphCache.getOrElseUpdate(spark,
       graft.graph.LinkGraph.fromPages(graft.io.Corpus.tiny(spark).toDF()).cache())
@@ -25,6 +33,7 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    System.setProperty("graft.isVerify", "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -312,10 +312,14 @@ object Cypher {
       val renamed = df.select(cols.map(c => col(c).as(s"${ev}_$c")): _*)
       if (pat.undirected) {
         // both orientations as extra pattern-endpoint columns; the real
-        // `<e>_src/_dst` keep storage endpoints for property access
+        // `<e>_src/_dst` keep storage endpoints for property access.
+        // Self-loop events take only the fwd branch — their reversed
+        // orientation is the identical row, and openCypher matches an
+        // undirected pattern against a self-loop relationship ONCE.
         val fwd = renamed.withColumn(s"${ev}__a", col(s"${ev}_src"))
           .withColumn(s"${ev}__b", col(s"${ev}_dst"))
-        val rev = renamed.withColumn(s"${ev}__a", col(s"${ev}_dst"))
+        val rev = renamed.filter(col(s"${ev}_src") =!= col(s"${ev}_dst"))
+          .withColumn(s"${ev}__a", col(s"${ev}_dst"))
           .withColumn(s"${ev}__b", col(s"${ev}_src"))
         fwd.unionByName(rev)
       } else renamed
@@ -458,14 +462,24 @@ object Cypher {
       case Fn(n, _) => n
       case _ => s"col$i"
     })
+    /** Output names with colliding DEFAULT names disambiguated by item
+      * index (e.g. `RETURN min(e.ts), min(e.seq)` → min, min_1) — two
+      * same-named columns would make the post-agg select throw
+      * AMBIGUOUS_REFERENCE. Explicit aliases are kept verbatim. */
+    val itemNames: Seq[String] = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      q.items.zipWithIndex.map { case (RetItem(e, alias), i) =>
+        val n = itemName(e, alias, i)
+        val k = seen.getOrElse(n, 0); seen(n) = k + 1
+        if (k == 0 || alias.isDefined) n else s"${n}_$i"
+      }
+    }
 
     val hasAgg = q.items.exists(it => topAgg(it.expr))
     var out: DataFrame =
       if (hasAgg) {
         // Cypher implicit grouping: non-aggregate RETURN items are the keys
-        val named = q.items.zipWithIndex.map { case (RetItem(e, alias), i) =>
-          (e, itemName(e, alias, i))
-        }
+        val named = q.items.zip(itemNames).map { case (RetItem(e, _), n) => (e, n) }
         val keyCols = named.collect { case (e, n) if !topAgg(e) => exprCol(e).as(n) }
         val aggCols = named.collect { case (e, n) if topAgg(e) => aggColOf(e).as(n) }
         val grouped = acc.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
@@ -482,14 +496,14 @@ object Cypher {
         val eCols = edgeVars.toSeq.filter(kv => !synth(kv._1)).flatMap(_._2.map(col))
         acc.select((nodeCols ++ eCols): _*)
       } else {
-        val cols = q.items.zipWithIndex.flatMap { case (RetItem(e, alias), i) =>
+        val cols = q.items.zip(itemNames).flatMap { case (RetItem(e, alias), n) =>
           e match {
             case VarRef(v) if edgeVars.contains(v) =>
               // bare edge variable: the whole event row (reference
               // `return type(e), e` shape); aliasing a row is ambiguous
               require(alias.isEmpty, s"cannot alias whole edge row $v — project its properties")
               edgeVars(v).map(col)
-            case _ => Seq(exprCol(e).as(itemName(e, alias, i)))
+            case _ => Seq(exprCol(e).as(n))
           }
         }
         acc.select(cols: _*)

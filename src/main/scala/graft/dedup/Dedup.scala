@@ -221,18 +221,43 @@ object Dedup {
     * the r4 bench caught the HOF version at 62 s on 4M pairs). */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    graft.functions.VectorFunctions.register(emb.sparkSession)
-    def dot(a: Column, b: Column): Column =
-      graft.functions.VectorFunctions.dot_product(a, b)
-    val toD = transform(col(vecCol), (x: Column) => x.cast("double"))
-    val v = emb.select(col(idCol), toD.as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val v = normedVectors(emb, idCol, vecCol)
     val l = v.select(col(idCol).as("a"), col("v").as("va"), col("n").as("na"))
     val r = v.select(col(idCol).as("b"), col("v").as("vb"), col("n").as("nb"))
-    l.join(r, col("a") < col("b"))
+    cosineVerify(l.join(r, col("a") < col("b")), threshold)
+  }
+
+  /** (id, v, n): double-cast vectors with their norm precomputed once per
+    * row (sqrt(dot(v,v)), codegen DotProduct). */
+  private def normedVectors(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val dot = graft.functions.VectorFunctions.dot_product _
+    emb.select(col(idCol), transform(col(vecCol), (x: Column) => x.cast("double")).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** Shared cosine pair-verify: filter on the UNROUNDED cosine, round for
+    * output — both embedding near-dup paths (cross product, IVF cells)
+    * must keep identical arithmetic so their oracles stay replayable. */
+  private def cosineVerify(pairs: DataFrame, threshold: Double): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dot_product _
+    pairs
       .select(col("a"), col("b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Candidate-restricted embedding verify: candidate pairs (a, b) — e.g.
+    * sim.Ann.ivfCandidates — joined to their vectors, same arithmetic as
+    * embeddingNearDups. */
+  def embeddingVerify(pairs: DataFrame, emb: DataFrame, threshold: Double,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = normedVectors(emb, idCol, vecCol)
+    cosineVerify(
+      pairs
+        .join(v.select(col(idCol).as("a"), col("v").as("va"), col("n").as("na")), Seq("a"))
+        .join(v.select(col(idCol).as("b"), col("v").as("vb"), col("n").as("nb")), Seq("b")),
+      threshold)
   }
 }

@@ -14,11 +14,14 @@ object IngestProbe {
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
-        val wall = (si.completionTime.get - si.submissionTime.get) / 1e3
-        val taskTime = si.taskMetrics.executorRunTime / 1e3
-        val gc = si.taskMetrics.jvmGCTime / 1e3
-        if (wall > 0.2)
-          println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%4d wall=$wall%6.2f cpuSum=$taskTime%7.2f gc=$gc%5.2f  ${si.name.takeWhile(_ != '(')}")
+        // skipped / resubmitted stages can miss either timestamp
+        for (sub <- si.submissionTime; comp <- si.completionTime) {
+          val wall = (comp - sub) / 1e3
+          val taskTime = si.taskMetrics.executorRunTime / 1e3
+          val gc = si.taskMetrics.jvmGCTime / 1e3
+          if (wall > 0.2)
+            println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%4d wall=$wall%6.2f cpuSum=$taskTime%7.2f gc=$gc%5.2f  ${si.name.takeWhile(_ != '(')}")
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)

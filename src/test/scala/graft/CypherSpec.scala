@@ -178,6 +178,23 @@ class CypherSpec extends AnyFunSuite {
     assert(nb == Set(0L, 2L))
   }
 
+  test("undirected pattern matches a self-loop event exactly once (openCypher)") {
+    val eSelf = Seq((7L, 7L, 1L, 0L, "a", 1.0), (7L, 8L, 2L, 1L, "a", 1.0))
+      .toDF("src", "dst", "ts", "seq", "layer", "weight")
+    val n = Seq((7L, "x"), (8L, "y")).toDF("vid", "name")
+    val gs = new LinkGraph(eSelf, n, namesAreNumeric = false)
+    // self-loop once + the 7->8 event in both orientations = 3
+    assert(Cypher.run(gs, "MATCH (a)-[e]-(b) RETURN count(*) AS n").head().getLong(0) == 3L)
+  }
+
+  test("unaliased same-function aggregates get disambiguated names") {
+    val rows = Cypher.run(g,
+      "MATCH (a)-[e]->(b) RETURN a.id AS id, min(e.ts), min(e.seq) ORDER BY id")
+      .collect()
+    assert(rows.length == 4)
+    assert(rows.head.schema.fieldNames.toSeq == Seq("id", "min", "min_2"))
+  }
+
   test("mixed undirected + directed hops chain through the shared node") {
     // (a)-[e1]-(b)-[e2]->(c): b reachable from a either way, then a
     // directed hop out of b. Independently recomputed with DataFrame ops.

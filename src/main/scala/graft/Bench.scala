@@ -120,25 +120,30 @@ object Bench {
     // against. The second pass also reuses the memoized driver caches
     // (pagerank/census/buckets), which is part of the protocol and noted
     // in the artifact.
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val passTotal = Array(0.0, 0.0)
+    val bestOk = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val worstFail = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (pass <- 1 to 2) {
       SparkEntry.queries.foreach { case (name, fn) =>
         var ok = true
         val (_, t) = time {
           try fn(spark, sfDir).count() catch { case _: Throwable => ok = false }
         }
-        if (ok) passTotal(pass - 1) += t
-        // failures are recorded as negative timings + listed in detail so a
-        // broken query can never masquerade as a fast one
-        if (!ok) {
-          results(name) = -t
-          if (pass == 1) failed += name
-        } else if (!results.get(name).exists(prev => prev >= 0 && prev <= t))
-          results(name) = t
+        if (ok) {
+          passTotal(pass - 1) += t
+          if (!bestOk.get(name).exists(_ <= t)) bestOk(name) = t
+        } else worstFail(name) = math.max(worstFail.getOrElse(name, 0.0), t)
       }
     }
-    if (failed.nonEmpty) extra("failed_queries") = failed.mkString(",")
+    // a query that succeeded in EITHER pass records its best success; a
+    // query that failed in ANY pass is listed as flaky/failed in detail,
+    // and one that never succeeded records a negative timing so a broken
+    // query can never masquerade as a fast one
+    bestOk.foreach { case (name, t) => results(name) = t }
+    worstFail.foreach { case (name, t) =>
+      if (!bestOk.contains(name)) results(name) = -t
+    }
+    if (worstFail.nonEmpty) extra("failed_queries") = worstFail.keys.mkString(",")
     // honesty note: the per-query best-of values reflect warm memoized
     // caches (pagerank/census/buckets built in pass 1); the pass totals
     // below keep the cold one-time build costs visible in the artifact

@@ -31,6 +31,16 @@ object Queries2 {
   private val lshCandCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Weight-retaining orders graph memoized per (session, sfDir):
+    * fromRawEdges persists two tables, so per-invocation construction in
+    * g_edge_prop_at leaked cached RDDs across the bench's two passes. */
+  private val weightedGraphCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LinkGraph]
+
+  private def weightedGraph(s: SparkSession, d: String): LinkGraph =
+    weightedGraphCache.getOrElseUpdate((s, d),
+      LinkGraph.fromRawEdges(Queries.orderEventsForTest(s, d)))
+
   /** IVF centroid matrix memoized per (session, sfDir): e_ann_ivf and
     * d_ivf_neardup share ONE training run, and the builder dumps the
     * matrix to the aux dir so both DuckDB oracles replay assignment over
@@ -199,7 +209,7 @@ object Queries2 {
     // edge-event temporal property: latest per (src, dst) at the half-span
     // timestamp — the property column IS the exploded event log's column
     "g_edge_prop_at" -> ((s, d) => {
-      val g = LinkGraph.fromRawEdges(Queries.orderEventsForTest(s, d))
+      val g = weightedGraph(s, d)
       val tHalf = g.edges.agg(max(col("ts"))).head().getLong(0) / 2
       g.edgePropertyAt("weight", tHalf)
         .select(col("src"), col("dst"), col("ts"), round(col("value"), 2).as("value"))

@@ -216,12 +216,14 @@ object Louvain {
       .join(p.select(col("vid").as("b"), col("community").as("cb")), Seq("b"))
       .filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community")).agg(sum(col("w")).as("i"))
-    val q = kc.join(intra, Seq("community"), "left")
-      .agg(sum(coalesce(col("i"), lit(0.0)) / m
-        - lit(resolution) * pow(col("kcom") / (2 * m), 2)))
-      .head().getDouble(0)
-    pw.unpersist()
-    q
+    try {
+      val qRow = kc.join(intra, Seq("community"), "left")
+        .agg(sum(coalesce(col("i"), lit(0.0)) / m
+          - lit(resolution) * pow(col("kcom") / (2 * m), 2)))
+        .head()
+      // sum over zero communities (empty/disjoint partition) is null, not 0
+      if (qRow.isNullAt(0)) 0.0 else qRow.getDouble(0)
+    } finally pw.unpersist()
   }
 
   /** Modularity Q of a (vid -> community) partition over the same collapsed

@@ -121,8 +121,18 @@ object Cypher {
       case t => throw new IllegalArgumentException(s"expected identifier, got $t")
     }
 
+    private def num(s: String, neg: Boolean): Lit = {
+      require(s.count(_ == '.') <= 1, s"malformed number $s")
+      val sign = if (neg) "-" else ""
+      Lit(if (s.contains('.')) (sign + s).toDouble else (sign + s).toLong)
+    }
+
     private def literal(): Lit = next() match {
-      case TNum(s) => Lit(if (s.contains('.')) s.toDouble else s.toLong)
+      case TNum(s) => num(s, neg = false)
+      case TPunct("-") => next() match { // negative numeric literal
+        case TNum(s) => num(s, neg = true)
+        case t => throw new IllegalArgumentException(s"expected number after '-', got $t")
+      }
       case TStr(s) => Lit(s)
       case TIdent(s) if s.equalsIgnoreCase("true") => Lit(true)
       case TIdent(s) if s.equalsIgnoreCase("false") => Lit(false)
@@ -188,6 +198,7 @@ object Cypher {
 
     private def operand(): Expr = peek match {
       case Some(TPunct("(")) => punct("("); val e = expr(); expectPunct(")"); e
+      case Some(TPunct("-")) => literal() // negative numeric literal
       case Some(_: TNum) | Some(_: TStr) => literal()
       case Some(TIdent(s)) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => literal()
       case Some(_: TIdent) =>
@@ -338,8 +349,19 @@ object Cypher {
       acc = acc.join(g.nodes.select(renamed: _*), col(bound(v)) === col(keyCol)).drop(keyCol)
     }
 
+    // Normalize: every anonymous node pattern gets a fresh SYNTHETIC name
+    // (excluded from RETURN *). This is what makes chain adjacency hold
+    // through anonymous middles — `()-[e]->()-[f]->()` must join
+    // e.dst = f.src — and lets labels/property maps on anonymous nodes
+    // (`(:even)`, `({id: 3})`) flow through the same constraint loop as
+    // named ones instead of being silently dropped.
+    def namedNp(np: NodePat): NodePat =
+      if (np.v.isDefined) np else np.copy(v = Some(freshEdge()))
+    val chains = q.chains.map(ch =>
+      Chain(namedNp(ch.first), ch.hops.map { case (e, n) => (e, namedNp(n)) }))
+
     // assemble all chains
-    for (ch <- q.chains) {
+    for (ch <- chains) {
       if (ch.hops.isEmpty) {
         // node-only pattern: scan the node table
         val v = ch.first.v.getOrElse(freshEdge())
@@ -387,7 +409,7 @@ object Cypher {
     require(acc != null, "empty MATCH")
 
     // node labels / property maps
-    for (ch <- q.chains; np <- ch.first +: ch.hops.map(_._2); v <- np.v) {
+    for (ch <- chains; np <- ch.first +: ch.hops.map(_._2); v <- np.v) {
       np.label.foreach { l =>
         joinNodeTable(v)
         acc = acc.filter(col(s"${v}_node_type") === l)

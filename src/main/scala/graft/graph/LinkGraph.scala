@@ -38,7 +38,11 @@ class LinkGraph(
     * (db/api/view/time.rs:115 — inclusive start, exclusive end). Temporal
     * node property events are windowed by the same bounds (the reference's
     * window views restrict property histories too,
-    * db/graph/views/window_graph.rs:76-120). */
+    * db/graph/views/window_graph.rs:76-120). DELIBERATE: property events
+    * are NOT semi-joined against the edge-induced node set — in the
+    * reference a property update IS node activity, so a node whose only
+    * in-window update is a property event still answers property reads in
+    * that window; only its edges are absent (locked by ViewSpec). */
   def window(start: Long, end: Long): LinkGraph = {
     val e = edges.filter(col("ts") >= start && col("ts") < end)
     induced(e, nodePropEvents.map(_.filter(col("ts") >= start && col("ts") < end)))

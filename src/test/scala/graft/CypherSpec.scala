@@ -178,6 +178,33 @@ class CypherSpec extends AnyFunSuite {
     assert(nb == Set(0L, 2L))
   }
 
+  test("anonymous middle node still joins the chain (no cross product)") {
+    val got = Cypher.run(g, "MATCH (a)-[e]->()-[f]->(c) RETURN a.id AS a, c.id AS c")
+    val e = g.edges.select($"src", $"dst")
+    val exp = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
+      .select(col("x.src"), col("y.dst"))
+    assert(got.count() == exp.count()) // NOT |E|^2
+    assert(got.collect().map(_.toSeq).toSet == exp.collect().map(_.toSeq).toSet)
+  }
+
+  test("labels and property maps on anonymous nodes are applied") {
+    val typed = g.withNodeTypes(Seq((0L, "even"), (1L, "odd"), (2L, "even"), (3L, "odd"))
+      .toDF("vid", "node_type"))
+    // edges INTO an even node: 0->2 (dst 2), 1->2, 3->0, 2->0 = 4
+    assert(Cypher.run(typed, "MATCH ()-[e]->(:even) RETURN count(*) AS n")
+      .head().getLong(0) == 4L)
+    // anonymous property map binds too
+    assert(Cypher.run(g, "MATCH ()-[e]->({id: 2}) RETURN count(*) AS n")
+      .head().getLong(0) == 2L) // 1->2 and 0->2
+  }
+
+  test("negative numeric literals parse in WHERE and property maps") {
+    assert(Cypher.run(g, "match ()-[e]->() WHERE e.ts > -1 RETURN count(*) AS n")
+      .head().getLong(0) == 6L)
+    assert(Cypher.run(g, "match ()-[e]->() WHERE e.weight <> -2.5 RETURN count(*) AS n")
+      .head().getLong(0) == 6L)
+  }
+
   test("undirected pattern matches a self-loop event exactly once (openCypher)") {
     val eSelf = Seq((7L, 7L, 1L, 0L, "a", 1.0), (7L, 8L, 2L, 1L, "a", 1.0))
       .toDF("src", "dst", "ts", "seq", "layer", "weight")

@@ -120,10 +120,11 @@ object Louvain {
           adjCom(v)(newCom.toLong) = adjCom(v).getOrElse(newCom.toLong, 0.0) + wSelf
         }
         adj(v).foreach { case (u, wt) =>
+          // u's view of v's community changes; v's view of u's community
+          // does NOT (a dec/re-add of adjCom(v)(com(u)) would be a no-op
+          // that could drop sub-tol residuals)
           dec(adjCom(u), oldCom.toLong, wt)
           adjCom(u)(newCom.toLong) = adjCom(u).getOrElse(newCom.toLong, 0.0) + wt
-          dec(adjCom(v), com(u).toLong, wt)
-          adjCom(v)(com(u).toLong) = adjCom(v).getOrElse(com(u).toLong, 0.0) + wt
         }
         kCom(oldCom) -= k(v)
         kCom(newCom) += k(v)

@@ -112,6 +112,9 @@ object Lpa {
   }
 
   private def runSyncCsr(g: LinkGraph, maxSweeps: Int): DataFrame = {
+    require(g.namesAreNumeric,
+      "LPA CSR mode needs numeric GID names (labels are packed as u64); " +
+        "use mode=\"df\" for string-named graphs")
     val spark = g.spark
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -142,10 +145,20 @@ object Lpa {
     while (!done && sweep < maxSweeps) {
       var changedTotal = 0L
       for (color <- 0 to 1) {
-        val counts = state.hint("shuffle_hash").join(pairs, state("vid") === pairs("a"))
+        // gather only into the active colour class — the other half of the
+        // majority aggregation would be discarded by the newState select,
+        // doubling the per-sweep shuffle for nothing
+        val gather = pairs.filter($"b" % 2 === color)
+        val counts = state.hint("shuffle_hash")
+          .join(gather, state("vid") === gather("a"))
           .groupBy($"b", $"label").agg(count(lit(1)).as("c"))
+          // numeric GIDs order as UNSIGNED u64 (Lpa.gidLt): decimal(20,0)
+          // covers the full u64 range — cast("long") nulls labels >= 2^63
+          // and would invert those tie-breaks vs runExact/the CSR path
           .withColumn("ord_key",
-            if (g.namesAreNumeric) $"label".cast("long") else $"label")
+            if (g.namesAreNumeric)
+              $"label".cast(org.apache.spark.sql.types.DecimalType(20, 0))
+            else $"label")
         // majority label, ties -> largest GID: lexicographic struct max —
         // one aggregation instead of a window sort per half-sweep
         val best = counts.groupBy($"b")

@@ -22,7 +22,8 @@ object Metrics {
     * NaN/inf (empty graph) → 0. */
   def degreeCentrality(g: LinkGraph): DataFrame = {
     val deg = g.degrees
-    val maxDeg = deg.agg(max(col("degree"))).head().getLong(0)
+    val mRow = deg.agg(max(col("degree"))).head()
+    val maxDeg = if (mRow.isNullAt(0)) 0L else mRow.getLong(0) // empty graph → null max
     val value =
       if (maxDeg == 0) lit(0.0)
       else col("degree").cast("double") / maxDeg.toDouble
@@ -94,10 +95,12 @@ object Metrics {
       .na.fill(0L, Seq("n_out", "n_in", "n_recip"))
   }
 
-  /** Σ|out∩in| / Σ|out|, self-loops excluded (reciprocity.rs:97-124). */
+  /** Σ|out∩in| / Σ|out|, self-loops excluded (reciprocity.rs:97-124);
+    * empty/edgeless graphs → 0 (matching localReciprocity's NaN → 0). */
   def globalReciprocity(g: LinkGraph): Double = {
     val r = reciprocalCounts(g).agg(sum("n_recip"), sum("n_out")).head()
-    r.getLong(0).toDouble / r.getLong(1).toDouble
+    if (r.isNullAt(0) || r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble / r.getLong(1).toDouble
   }
 
   /** 2·|out∩in| / (|in|+|out|) per node, NaN → 0 (reciprocity.rs:128-146). */

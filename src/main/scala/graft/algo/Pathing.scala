@@ -224,7 +224,6 @@ object Pathing {
     }
     events.unpersist()
     val hist = batches.reduce(_ union _)
-      .withColumn("entry", concat($"t".cast("string"), lit(":"), $"src_name"))
       .groupBy($"vid").agg(sort_array(collect_list(struct($"t", $"src_name"))).as("sorted"))
       .select($"vid", expr("transform(sorted, x -> concat(cast(x.t as string), ':', x.src_name))").as("history"))
     g.nodes.join(hist, Seq("vid"), "left")

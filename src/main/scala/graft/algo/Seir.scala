@@ -58,10 +58,13 @@ object Seir {
     def uniform(): Double = (rng.nextU32().toLong & 0xffffffffL).toDouble / (1L << 32).toDouble
     def bernoulli(p: Double): Boolean = uniform() < p
     def exp(rate: Double): Long = (-math.log1p(-uniform()) / rate).toLong
-    /** Per-event md5 coin (rngMode "hash"): portable to the SQL oracle. */
+    /** Per-event md5 coin (rngMode "hash"): portable to the SQL oracle —
+      * same first-8-md5-hex-as-u32 scheme as TextOps.md5u32. The digest
+      * instance is reused (digest() resets it; this loop is sequential)
+      * instead of re-allocating per event. */
+    val coinMd = java.security.MessageDigest.getInstance("MD5")
     def hashCoin(s: Long, d: Long, t: Long, q: Long, p: Double): Boolean = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"$s:$d:$t:$q:seir".getBytes("UTF-8"))
+      val hex = coinMd.digest(s"$s:$d:$t:$q:seir".getBytes("UTF-8"))
         .take(4).map(b => f"$b%02x").mkString
       java.lang.Long.parseLong(hex, 16).toDouble / (1L << 32).toDouble < p
     }

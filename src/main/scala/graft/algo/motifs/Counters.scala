@@ -22,6 +22,12 @@ object Counters {
   @inline def pair(d1: Int, d2: Int): Int = 2 * d1 + d2
   @inline def triple(d1: Int, d2: Int, d3: Int): Int = 4 * d1 + 2 * d2 + d3
 
+  /** ts + delta, saturating at Long.MaxValue: a caller passing
+    * delta ≈ Long.MaxValue to mean "unbounded window" must not wrap the
+    * window comparisons negative (delta ≥ 0 by contract). */
+  @inline def satAdd(ts: Long, delta: Long): Long =
+    if (ts > 0 && delta > Long.MaxValue - ts) Long.MaxValue else ts + delta
+
   /** The paper's delta-window event sweep: for each current event j, the
     * pre-window holds earlier events with t ≥ t_j − delta, the post-window
     * later events with t ≤ t_j + delta (event order is the (ts, seq) sort
@@ -45,8 +51,8 @@ object Counters {
       var end = 0
       var j = 0
       while (j < l) {
-        while (start < l && times(start) + delta < times(j)) { expirePre(start); start += 1 }
-        while (end < l && times(end) <= times(j) + delta) { admitPost(end); end += 1 }
+        while (start < l && satAdd(times(start), delta) < times(j)) { expirePre(start); start += 1 }
+        while (end < l && times(end) <= satAdd(times(j), delta)) { admitPost(end); end += 1 }
         retireFromPost(j)
         countCurrent(j)
         admitPre(j)
@@ -68,7 +74,7 @@ object Counters {
       var start = 0
       var j = 0
       while (j < dirs.length) {
-        while (times(start) + delta < times(j)) {
+        while (satAdd(times(start), delta) < times(j)) {
           val d = dirs(start)
           c1(d) -= 1
           c2(pair(d, IN)) -= c1(IN)
@@ -181,7 +187,7 @@ object Counters {
     }
 
     def push(dir: Int, ts: Long): Unit = {
-      while (size > 0 && ringTs(head) + delta < ts) {
+      while (size > 0 && satAdd(ringTs(head), delta) < ts) {
         val d = ringDir(head)
         c1(d) -= 1
         c2(pair(d, IN)) -= c1(IN)
@@ -307,12 +313,12 @@ object Counters {
           if (jOff < size) ringTs((head + jOff) % ringTs.length)
           else it.head._3
         // expire pre-window events older than tsJ - delta (start <= j always)
-        while (jOff > 0 && ringTs(head) + delta < tsJ) {
+        while (jOff > 0 && satAdd(ringTs(head), delta) < tsJ) {
           expirePre(ringNb(head), ringDir(head))
           head = (head + 1) % ringNb.length; size -= 1; jOff -= 1
         }
         // admit post-window events with ts <= tsJ + delta (incl. j itself)
-        while (it.hasNext && it.head._3 <= tsJ + delta) {
+        while (it.hasNext && it.head._3 <= satAdd(tsJ, delta)) {
           val (nbRaw, d, t) = it.next()
           val nb = idx(nbRaw)
           admitPost(nb, d)

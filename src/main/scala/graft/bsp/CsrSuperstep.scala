@@ -197,10 +197,13 @@ object CsrSuperstep {
                 k += 1
               }
               if (counts.nonEmpty) {
-                var bestLabel = Long.MinValue
+                var bestLabel = 0L
                 var bestCount = -1L
                 counts.foreachEntry { (lab, c) =>
-                  if (c > bestCount || (c == bestCount && lab > bestLabel)) {
+                  // GIDs are u64 stored in signed longs: ties break by
+                  // UNSIGNED order (Lpa.gidLt), not the wrapped sign
+                  if (c > bestCount ||
+                      (c == bestCount && java.lang.Long.compareUnsigned(lab, bestLabel) > 0)) {
                     bestLabel = lab; bestCount = c
                   }
                 }

@@ -121,6 +121,7 @@ object Bench {
     // (pagerank/census/buckets), which is part of the protocol and noted
     // in the artifact.
     val passTotal = Array(0.0, 0.0)
+    val passFails = Array(0, 0)
     val bestOk = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val worstFail = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (pass <- 1 to 2) {
@@ -129,10 +130,17 @@ object Bench {
         val (_, t) = time {
           try fn(spark, sfDir).count() catch { case _: Throwable => ok = false }
         }
+        // failed legs still count toward the pass total (their wall time
+        // was spent) and bump the per-pass failure count — a query that
+        // fails in pass 1 but succeeds in pass 2 cannot deflate the cold
+        // total while showing a clean best-of timing
+        passTotal(pass - 1) += t
         if (ok) {
-          passTotal(pass - 1) += t
           if (!bestOk.get(name).exists(_ <= t)) bestOk(name) = t
-        } else worstFail(name) = math.max(worstFail.getOrElse(name, 0.0), t)
+        } else {
+          passFails(pass - 1) += 1
+          worstFail(name) = math.max(worstFail.getOrElse(name, 0.0), t)
+        }
       }
     }
     // a query that succeeded in EITHER pass records its best success; a
@@ -143,7 +151,10 @@ object Bench {
     worstFail.foreach { case (name, t) =>
       if (!bestOk.contains(name)) results(name) = -t
     }
-    if (worstFail.nonEmpty) extra("failed_queries") = worstFail.keys.mkString(",")
+    if (worstFail.nonEmpty) {
+      extra("failed_queries") = worstFail.keys.mkString(",")
+      extra("failed_legs_per_pass") = s"${passFails(0)}/${passFails(1)}"
+    }
     // honesty note: the per-query best-of values reflect warm memoized
     // caches (pagerank/census/buckets built in pass 1); the pass totals
     // below keep the cold one-time build costs visible in the artifact

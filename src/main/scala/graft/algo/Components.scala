@@ -232,7 +232,9 @@ object Components {
   /** All-nodes ancestor (dir="in") or descendant (dir="out") sets:
     * (vid, name, members: array of member names, sorted by vid). */
   def allComponents(g: LinkGraph, dir: String): DataFrame = {
-    graft.bsp.DriverGuard.checkEdges(g, "Components.allComponents",
+    // nodes + edges: the run collects BOTH tables, so a many-isolated-nodes
+    // graph with few edges must trip the guard too
+    graft.bsp.DriverGuard.check(g, "Components.allComponents", g.nodeCount + g.edgeCount,
       "inComponentOf/outComponentOf per node (distributed frontier joins); the all-nodes output is O(n^2) regardless")
     val spark = g.spark
     import spark.implicits._

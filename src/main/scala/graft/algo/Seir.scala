@@ -46,7 +46,9 @@ object Seir {
 
   /** Returns (vid, name, infected, active, recovered). */
   def run(g: LinkGraph, seeds: Seq[String], cfg: Config): DataFrame = {
-    graft.bsp.DriverGuard.check(g, "Seir.run", g.edgeEventCount,
+    // nodes + events: the run collects BOTH the name map and the event
+    // adjacency, so a many-isolated-nodes graph must trip the guard too
+    graft.bsp.DriverGuard.check(g, "Seir.run", g.edgeEventCount + g.nodeCount,
       "window the event log first; the epidemic queue is inherently sequential")
     val spark = g.spark
     import spark.implicits._

@@ -12,6 +12,11 @@ import graft.text.TextOps
   * or equi-join — no driver state. */
 object Dedup {
 
+  /** Default bound on all-pairs cosine comparisons (embeddingNearDups):
+    * ~10^8 codegen dots ≈ a few seconds on one box; anything bigger is
+    * IVF-cell territory. Override: `graft.dedup.maxPairs` Spark conf. */
+  val DefaultMaxPairs: Long = 100L * 1000 * 1000
+
   /** Exact duplicate groups: (text_hash, n_docs, first_doc). */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
@@ -221,6 +226,19 @@ object Dedup {
     * the r4 bench caught the HOF version at 62 s on 4M pairs). */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Fail fast above a pair bound instead of silently launching an O(n²)
+    // cross join at scale — the same contract as every other intentionally
+    // bounded path (DriverGuard). Override: `graft.dedup.maxPairs` conf.
+    val spark = emb.sparkSession
+    val maxPairs = spark.conf.getOption("graft.dedup.maxPairs").map(_.toLong)
+      .getOrElse(DefaultMaxPairs)
+    val n = emb.count()
+    val pairs = n * (n - 1) / 2
+    if (pairs > maxPairs)
+      throw new IllegalStateException(
+        s"Dedup.embeddingNearDups is the all-pairs BASELINE and would compute $pairs " +
+          s"cosine pairs > graft.dedup.maxPairs=$maxPairs. Scale path: " +
+          "sim.Ann.ivfCandidates + Dedup.embeddingVerify (bucketed IVF cells, hot-cell cap)")
     val v = normedVectors(emb, idCol, vecCol)
     val l = v.select(col(idCol).as("a"), col("v").as("va"), col("n").as("na"))
     val r = v.select(col(idCol).as("b"), col("v").as("vb"), col("n").as("nb"))

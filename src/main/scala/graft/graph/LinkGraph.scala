@@ -38,14 +38,15 @@ class LinkGraph(
     * (db/api/view/time.rs:115 — inclusive start, exclusive end). Temporal
     * node property events are windowed by the same bounds (the reference's
     * window views restrict property histories too,
-    * db/graph/views/window_graph.rs:76-120). DELIBERATE: property events
-    * are NOT semi-joined against the edge-induced node set — in the
-    * reference a property update IS node activity, so a node whose only
-    * in-window update is a property event still answers property reads in
-    * that window; only its edges are absent (locked by ViewSpec). */
+    * db/graph/views/window_graph.rs:76-120). A property update IS node
+    * activity in the reference, so the induced node set is edge endpoints
+    * UNION in-window property-event vids: a node whose only in-window
+    * activity is a property update still appears in nodes/degree (degree
+    * 0) and answers property reads (locked by ViewSpec). */
   def window(start: Long, end: Long): LinkGraph = {
     val e = edges.filter(col("ts") >= start && col("ts") < end)
-    induced(e, nodePropEvents.map(_.filter(col("ts") >= start && col("ts") < end)))
+    val props = nodePropEvents.map(_.filter(col("ts") >= start && col("ts") < end))
+    induced(e, props, props.map(_.select(col("vid"))))
   }
 
   def before(t: Long): LinkGraph = window(Long.MinValue, t)
@@ -156,9 +157,11 @@ class LinkGraph(
   }
 
   private def induced(e: DataFrame,
-                      props: Option[DataFrame] = nodePropEvents): LinkGraph = {
-    val active = e.select(col("src").as("vid"))
-      .union(e.select(col("dst").as("vid"))).distinct()
+                      props: Option[DataFrame] = nodePropEvents,
+                      extraActive: Option[DataFrame] = None): LinkGraph = {
+    val endpoints = e.select(col("src").as("vid"))
+      .union(e.select(col("dst").as("vid")))
+    val active = extraActive.fold(endpoints)(endpoints.union(_)).distinct()
     new LinkGraph(e, nodes.join(active, Seq("vid"), "left_semi"), namesAreNumeric, props)
   }
 

@@ -207,6 +207,29 @@ class AlgoSpec extends AnyFunSuite {
     assert(all("3") == Seq())
   }
 
+  test("driver guards bound nodes + edges: isolated-node-heavy graphs trip them") {
+    // 1 edge but 31 nodes: a guard that checks edge count alone would let
+    // the node-table collect through unbounded
+    val e = Seq((0L, 1L, 0L, 0L, "_default")).toDF("src", "dst", "ts", "seq", "layer")
+    val n = (0L to 30L).map(i => (i, i.toString)).toDF("vid", "name")
+    val g = new LinkGraph(e, n, namesAreNumeric = true)
+    val prev = spark.conf.getOption("graft.driver.maxElements")
+    spark.conf.set("graft.driver.maxElements", "10")
+    try {
+      val e1 = intercept[IllegalStateException] { Components.allComponents(g, "out") }
+      assert(e1.getMessage.contains("allComponents"))
+      val e2 = intercept[IllegalStateException] {
+        Seir.run(g, Seq("0"), Seir.Config(infectionProb = 1.0, initialInfection = 0L))
+      }
+      assert(e2.getMessage.contains("Seir"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.driver.maxElements", v)
+        case None => spark.conf.unset("graft.driver.maxElements")
+      }
+    }
+  }
+
   test("largest connected component (lcc.rs:25-68)") {
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).map { case (s, d) => (s, d, 0L) }
     val g = LinkGraph.fromNumericEdgeList(spark, edges)

@@ -101,6 +101,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
   }
 
+  test("embeddingNearDups fails fast above the pair bound, naming the IVF scale path") {
+    val prev = spark.conf.getOption("graft.dedup.maxPairs")
+    spark.conf.set("graft.dedup.maxPairs", "10") // 8 vectors -> 28 pairs > 10
+    try {
+      val e = intercept[IllegalStateException] { Dedup.embeddingNearDups(embeddings, 0.3) }
+      assert(e.getMessage.contains("ivfCandidates"))
+      assert(e.getMessage.contains("embeddingVerify"))
+      spark.conf.set("graft.dedup.maxPairs", "100")
+      assert(Dedup.embeddingNearDups(embeddings, 0.3).count() > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.dedup.maxPairs", v)
+        case None => spark.conf.unset("graft.dedup.maxPairs")
+      }
+    }
+  }
+
   test("brute-force cosine top-k ranks own cluster first") {
     val top = Ann.bruteForceTopK(embeddings, Seq(0L).toDF("id"), 3).collect()
     assert(top.length == 3)

@@ -87,15 +87,16 @@ class ViewSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap == Map(0L -> 2.0))
     // no events attached => empty, not an error
     assert(g.propertyHistory("x").isEmpty)
-    // DELIBERATE semantics: a node whose only in-window activity is a
-    // property update still answers property reads in that window (in the
-    // reference a property update IS node activity, window_graph.rs) —
-    // property events are windowed by time, NOT semi-joined against the
-    // edge-induced node set. vid 1's only x-event is at ts=7; a window
-    // excluding all of vid 1's edges but containing ts=7 must return it.
+    // a property update IS node activity (window_graph.rs): vid 1's only
+    // x-event is at ts=7; a window excluding all of vid 1's edges but
+    // containing ts=7 must return it from property reads AND list it in
+    // the induced node set (degree 0 — no in-window edges)
     val wNoEdges = gp.window(7L, 8L)
     assert(wNoEdges.propertyLatest("x").collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap == Map(1L -> 9.0))
+    assert(wNoEdges.nodes.select("vid").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(wNoEdges.degrees.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 0L))
     // materialize remaps the event log onto the re-minted vids
     val m = gp.materialize()
     assert(m.propertyLatest("x").count() == 2)

@@ -194,6 +194,12 @@ object Queries2 {
       graft.cypher.Cypher.run(graph(s, d),
         "MATCH (a)-[e]->(b) RETURN a.id AS id, count(*) AS n_events, " +
           "min(e.ts) AS first_ts, max(e.ts) AS last_ts")),
+    // multi-part query: WITH aggregates + filters the out-degree, then a
+    // second MATCH counts inbound events of the surviving nodes
+    "cy_with_top" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[e]->(b) WITH a, count(*) AS d WHERE d >= 2 " +
+          "MATCH (x)-[f]->(a) RETURN a.id AS id, d, count(*) AS n_in")),
     // temporal node property histories: latest value per node at the
     // half-span timestamp via propertyAt (one hash aggregate) over a
     // (vid, prop, ts, value) event log derived from orders
@@ -408,6 +414,13 @@ object Queries2 {
          |SELECT src AS id, count(*) AS n_events,
          |  CAST(min(ts) AS BIGINT) AS first_ts, CAST(max(ts) AS BIGINT) AS last_ts
          |FROM ev GROUP BY src""".stripMargin,
+    "cy_with_top" ->
+      s"""WITH $sqlGraph,
+         |outs AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+         |         FROM ev GROUP BY src HAVING count(*) >= 2)
+         |SELECT o.id, o.d, CAST(count(*) AS BIGINT) AS n_in
+         |FROM outs o JOIN ev f ON f.dst = o.id
+         |GROUP BY o.id, o.d""".stripMargin,
     // latest-at-t per node over the property event log: arg_max by ts
     // (event times are unique: ts = o_orderkey), t = half the max ts
     "g_node_prop_at" ->

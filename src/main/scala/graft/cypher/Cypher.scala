@@ -16,6 +16,17 @@ import graft.graph.LinkGraph
   *    directions plus undirected `-[e]-` (each event in both
   *    orientations, RelPattern::undirected), anonymous or named
   *    nodes/edges;
+  *  - relationship uniqueness: two edge variables in ONE MATCH never
+  *    bind the same event (openCypher; the reference transpiler injects
+  *    the same pairwise unique_edge_filter predicates,
+  *    transpiler/mod.rs:620-646); reusing an edge variable across
+  *    patterns is rejected like Cypher does;
+  *  - multi-part queries: WITH [DISTINCT] items [ORDER BY] [LIMIT]
+  *    [WHERE] chaining into further MATCH/UNWIND parts, and
+  *    UNWIND <list> AS x (grammar raphtory-cypher/src/parser/
+  *    cypher.pest:26-55 MultiPartQuery/Unwind — the reference parses
+  *    these but its transpiler `unimplemented!`s most arms,
+  *    transpiler/mod.rs:602-1151; we execute them);
   *  - edge labels = layer filters, node labels = node_type filters
   *    (the reference binds edge labels to layer tables,
   *    lib.rs:383-401, parser/mod.rs:1473);
@@ -28,21 +39,24 @@ import graft.graph.LinkGraph
   *    event row, type(e) = layer; lib.rs:241-255), RETURN *, DISTINCT,
   *    ORDER BY ... ASC|DESC, LIMIT;
   *  - aggregates count(*)/count(x)/sum/min/max/avg/collect with Cypher
-  *    implicit grouping (non-aggregate RETURN items become the keys).
+  *    implicit grouping (non-aggregate RETURN/WITH items become the
+  *    keys).
   *
   * Bindings: an edge variable binds one exploded edge EVENT row (the
   * reference returns one row per event, lib.rs:241-255) with columns
   * `<e>_src/_dst/_ts/_seq/_layer` plus any extra event property
   * columns; a node variable binds `<n>_vid` (+ `<n>_name` /
-  * `<n>_node_type` / node prop columns when referenced). `v.id` on a
-  * node resolves to its vid; `e.id` is unsupported (the rebuild has no
-  * dense edge ids — use (src, dst, seq)).
+  * `<n>_node_type` / node prop columns when referenced); a WITH/UNWIND
+  * alias binds a plain value column. `v.id` on a node resolves to its
+  * vid; `e.id` is unsupported (the rebuild has no dense edge ids — use
+  * (src, dst, seq)).
   */
 object Cypher {
 
   // ---------- AST ----------
   sealed trait Expr
   case class Lit(value: Any) extends Expr
+  case class ListLit(items: Seq[Expr]) extends Expr
   case class VarRef(v: String) extends Expr
   case class Prop(v: String, name: String) extends Expr
   case class Cmp(op: String, l: Expr, r: Expr) extends Expr
@@ -63,7 +77,16 @@ object Cypher {
                      leftToRight: Boolean, undirected: Boolean = false)
   case class Chain(first: NodePat, hops: Seq[(EdgePat, NodePat)])
   case class RetItem(expr: Expr, alias: Option[String])
-  case class Query(chains: Seq[Chain], where: Option[Expr], distinct: Boolean,
+
+  /** One reading clause of a (possibly multi-part) query. */
+  sealed trait Part
+  case class MatchPart(chains: Seq[Chain], where: Option[Expr]) extends Part
+  case class WithPart(distinct: Boolean, items: Seq[RetItem],
+                      orderBy: Seq[(Expr, Boolean)], limit: Option[Long],
+                      where: Option[Expr]) extends Part
+  case class UnwindPart(list: Expr, alias: String) extends Part
+
+  case class Query(parts: Seq[Part], distinct: Boolean,
                    returnAll: Boolean, items: Seq[RetItem],
                    orderBy: Seq[(Expr, Boolean)], limit: Option[Long])
 
@@ -108,6 +131,10 @@ object Cypher {
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
     private def kw(k: String): Boolean = peek match {
       case Some(TIdent(s)) if s.equalsIgnoreCase(k) => pos += 1; true
+      case _ => false
+    }
+    private def peekKw(k: String): Boolean = peek match {
+      case Some(TIdent(s)) => s.equalsIgnoreCase(k)
       case _ => false
     }
     private def expectKw(k: String): Unit = require(kw(k), s"expected $k at token $pos")
@@ -198,6 +225,15 @@ object Cypher {
 
     private def operand(): Expr = peek match {
       case Some(TPunct("(")) => punct("("); val e = expr(); expectPunct(")"); e
+      case Some(TPunct("[")) => // list literal (UNWIND [1, 2, 3] AS x)
+        punct("[")
+        val items = Seq.newBuilder[Expr]
+        if (!punct("]")) {
+          items += expr()
+          while (punct(",")) items += expr()
+          expectPunct("]")
+        }
+        ListLit(items.result())
       case Some(TPunct("-")) => literal() // negative numeric literal
       case Some(_: TNum) | Some(_: TStr) => literal()
       case Some(TIdent(s)) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => literal()
@@ -251,26 +287,20 @@ object Cypher {
       l
     }
 
-    def query(): Query = {
-      expectKw("MATCH")
-      val chains = Seq.newBuilder[Chain]
-      chains += chain()
-      while (punct(",")) chains += chain()
-      val where = if (kw("WHERE")) Some(expr()) else None
-      expectKw("RETURN")
-      val distinct = kw("DISTINCT")
-      var returnAll = false
+    private def retItem(): RetItem = {
+      val e = cmp()
+      val alias = if (kw("AS")) Some(ident()) else None
+      RetItem(e, alias)
+    }
+
+    private def retItems(): Seq[RetItem] = {
       val items = Seq.newBuilder[RetItem]
-      if (punct("*")) returnAll = true
-      else {
-        def retItem(): RetItem = {
-          val e = cmp()
-          val alias = if (kw("AS")) Some(ident()) else None
-          RetItem(e, alias)
-        }
-        items += retItem()
-        while (punct(",")) items += retItem()
-      }
+      items += retItem()
+      while (punct(",")) items += retItem()
+      items.result()
+    }
+
+    private def orderByOpt(): Seq[(Expr, Boolean)] = {
       val order = Seq.newBuilder[(Expr, Boolean)]
       if (kw("ORDER")) {
         expectKw("BY")
@@ -282,12 +312,52 @@ object Cypher {
         order += orderItem()
         while (punct(",")) order += orderItem()
       }
-      val limit = if (kw("LIMIT")) next() match {
+      order.result()
+    }
+
+    private def limitOpt(): Option[Long] =
+      if (kw("LIMIT")) next() match {
         case TNum(s) => Some(s.toLong)
         case t => throw new IllegalArgumentException(s"expected LIMIT count, got $t")
       } else None
+
+    def query(): Query = {
+      val parts = Seq.newBuilder[Part]
+      var sawReturn = false
+      while (!sawReturn) {
+        if (kw("MATCH")) {
+          val chains = Seq.newBuilder[Chain]
+          chains += chain()
+          while (punct(",")) chains += chain()
+          val where = if (kw("WHERE")) Some(expr()) else None
+          parts += MatchPart(chains.result(), where)
+        } else if (kw("UNWIND")) {
+          val list = operand()
+          expectKw("AS")
+          parts += UnwindPart(list, ident())
+        } else if (kw("WITH")) {
+          // grammar order (openCypher / cypher.pest:32-55):
+          // WITH [DISTINCT] items [ORDER BY ...] [LIMIT n] [WHERE ...]
+          val distinct = kw("DISTINCT")
+          val items = retItems()
+          val order = orderByOpt()
+          val limit = limitOpt()
+          val where = if (kw("WHERE")) Some(expr()) else None
+          parts += WithPart(distinct, items, order, limit, where)
+        } else {
+          expectKw("RETURN")
+          sawReturn = true
+        }
+      }
+      val distinct = kw("DISTINCT")
+      var returnAll = false
+      val items = Seq.newBuilder[RetItem]
+      if (punct("*")) returnAll = true
+      else items ++= retItems()
+      val order = orderByOpt()
+      val limit = limitOpt()
       require(pos == toks.length, s"trailing tokens from $pos: ${toks.drop(pos)}")
-      Query(chains.result(), where, distinct, returnAll, items.result(), order.result(), limit)
+      Query(parts.result(), distinct, returnAll, items.result(), order, limit)
     }
   }
 
@@ -305,6 +375,8 @@ object Cypher {
     // node var -> the column holding its vid in the assembled frame
     val bound = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val edgeVars = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    // WITH/UNWIND alias -> plain value column
+    val valueVars = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var acc: DataFrame = null
 
     def mergeOn(df: DataFrame, conds: Seq[Column]): Unit = {
@@ -338,6 +410,7 @@ object Cypher {
 
     // node label/prop constraints and name/prop references need the node
     // table joined on the var's vid column — done lazily, once per var
+    // (reset at each WITH: the projection drops un-carried node columns)
     val nodeJoined = scala.collection.mutable.Set.empty[String]
     def joinNodeTable(v: String): Unit = if (!nodeJoined(v)) {
       nodeJoined += v
@@ -349,79 +422,10 @@ object Cypher {
       acc = acc.join(g.nodes.select(renamed: _*), col(bound(v)) === col(keyCol)).drop(keyCol)
     }
 
-    // Normalize: every anonymous node pattern gets a fresh SYNTHETIC name
-    // (excluded from RETURN *). This is what makes chain adjacency hold
-    // through anonymous middles — `()-[e]->()-[f]->()` must join
-    // e.dst = f.src — and lets labels/property maps on anonymous nodes
-    // (`(:even)`, `({id: 3})`) flow through the same constraint loop as
-    // named ones instead of being silently dropped.
-    def namedNp(np: NodePat): NodePat =
-      if (np.v.isDefined) np else np.copy(v = Some(freshEdge()))
-    val chains = q.chains.map(ch =>
-      Chain(namedNp(ch.first), ch.hops.map { case (e, n) => (e, namedNp(n)) }))
-
-    // assemble all chains
-    for (ch <- chains) {
-      if (ch.hops.isEmpty) {
-        // node-only pattern: scan the node table
-        val v = ch.first.v.getOrElse(freshEdge())
-        if (bound.contains(v)) ()
-        else {
-          val renamed = g.nodes.columns.toSeq.map {
-            case "vid" => col("vid").as(s"${v}_vid")
-            case c => col(c).as(s"${v}_$c")
-          }
-          mergeOn(g.nodes.select(renamed: _*), Seq.empty)
-          bound(v) = s"${v}_vid"
-          nodeJoined += v
-        }
-      } else {
-        var leftNode = ch.first
-        for ((edge, rightNode) <- ch.hops) {
-          val ev = edge.v.getOrElse(freshEdge())
-          // the columns the chain's left/right nodes bind to: storage
-          // src/dst for directed arrows, the orientation-exploded __a/__b
-          // pair for undirected patterns
-          val (leftCol, rightCol) =
-            if (edge.undirected) (s"${ev}__a", s"${ev}__b")
-            else if (edge.leftToRight) (s"${ev}_src", s"${ev}_dst")
-            else (s"${ev}_dst", s"${ev}_src")
-          val df = edgeFrame(ev, edge)
-          // shared node vars become equi-join conditions against the new
-          // frame; bindings only take effect after conds are computed
-          val conds = Seq.newBuilder[Column]
-          val preBound = bound.toMap
-          leftNode.v.foreach { v => if (preBound.contains(v)) conds += col(preBound(v)) === col(leftCol) }
-          rightNode.v.foreach { v => if (preBound.contains(v)) conds += col(preBound(v)) === col(rightCol) }
-          // a pattern like (b)-[e]->(b) self-constrains the new frame
-          // directly (it must hold even when this is the first frame)
-          val df2 =
-            if (leftNode.v.isDefined && leftNode.v == rightNode.v && !preBound.contains(leftNode.v.get))
-              df.filter(col(leftCol) === col(rightCol))
-            else df
-          mergeOn(df2, conds.result())
-          leftNode.v.foreach(v => if (!bound.contains(v)) bound(v) = leftCol)
-          rightNode.v.foreach(v => if (!bound.contains(v)) bound(v) = rightCol)
-          leftNode = rightNode
-        }
-      }
-    }
-    require(acc != null, "empty MATCH")
-
-    // node labels / property maps
-    for (ch <- chains; np <- ch.first +: ch.hops.map(_._2); v <- np.v) {
-      np.label.foreach { l =>
-        joinNodeTable(v)
-        acc = acc.filter(col(s"${v}_node_type") === l)
-      }
-      np.props.foreach { case (k, Lit(value)) =>
-        if (k == "vid" || k == "id") acc = acc.filter(col(bound(v)) === lit(value))
-        else { joinNodeTable(v); acc = acc.filter(col(s"${v}_$k") === lit(value)) }
-      }
-    }
-
     def exprCol(e: Expr): Column = e match {
       case Lit(v) => lit(v)
+      case ListLit(items) => array(items.map(exprCol): _*)
+      case VarRef(v) if valueVars.contains(v) => col(valueVars(v))
       case VarRef(v) if bound.contains(v) => col(bound(v))
       case VarRef(v) if edgeVars.contains(v) =>
         throw new IllegalArgumentException(s"bare edge variable $v needs a property (or use RETURN *)")
@@ -451,14 +455,7 @@ object Cypher {
       case IsNull(x, false) => exprCol(x).isNull
       case IsNull(x, true) => exprCol(x).isNotNull
       case Fn(n, _) => throw new IllegalArgumentException(
-        s"function $n only valid as a top-level RETURN item")
-    }
-
-    q.where.foreach { w =>
-      // exprCol may lazily join the node table onto acc — build the
-      // predicate BEFORE reading acc for the filter
-      val pred = exprCol(w)
-      acc = acc.filter(pred)
+        s"function $n only valid as a top-level RETURN/WITH item")
     }
 
     val aggFns = Set("count", "sum", "min", "max", "avg", "collect")
@@ -479,7 +476,7 @@ object Cypher {
     }
     def itemName(e: Expr, alias: Option[String], i: Int): String = alias.getOrElse(e match {
       case Prop(v, p) => s"${v}_$p"
-      case VarRef(v) => s"${v}_vid"
+      case VarRef(v) => if (valueVars.contains(v)) v else s"${v}_vid"
       case Fn("count", _) => "count"
       case Fn(n, _) => n
       case _ => s"col$i"
@@ -488,37 +485,47 @@ object Cypher {
       * index (e.g. `RETURN min(e.ts), min(e.seq)` → min, min_1) — two
       * same-named columns would make the post-agg select throw
       * AMBIGUOUS_REFERENCE. Explicit aliases are kept verbatim. */
-    val itemNames: Seq[String] = {
+    def names(items: Seq[RetItem]): Seq[String] = {
       val seen = scala.collection.mutable.Map.empty[String, Int]
-      q.items.zipWithIndex.map { case (RetItem(e, alias), i) =>
+      items.zipWithIndex.map { case (RetItem(e, alias), i) =>
         val n = itemName(e, alias, i)
         val k = seen.getOrElse(n, 0); seen(n) = k + 1
         if (k == 0 || alias.isDefined) n else s"${n}_$i"
       }
     }
 
-    val hasAgg = q.items.exists(it => topAgg(it.expr))
-    var out: DataFrame =
+    def resolveOrder(out: DataFrame, orderBy: Seq[(Expr, Boolean)]): Seq[Column] =
+      orderBy.map { case (e, asc) =>
+        // ORDER BY resolves against the PROJECTED columns: an output
+        // alias, a projected `v_prop` name, or a node var's `v_vid`
+        val name = e match {
+          case VarRef(v) if out.columns.contains(v) => v
+          case VarRef(v) if out.columns.contains(s"${v}_vid") => s"${v}_vid"
+          case Prop(v, p) if out.columns.contains(s"${v}_$p") => s"${v}_$p"
+          case Prop(v, p) if (p == "id" || p == "vid") && out.columns.contains(s"${v}_vid") => s"${v}_vid"
+          case other => throw new IllegalArgumentException(
+            s"ORDER BY must reference a projected column, got $other (have ${out.columns.mkString(",")})")
+        }
+        if (asc) col(name).asc else col(name).desc
+      }
+
+    /** Project/aggregate `items` out of acc (shared by WITH and RETURN):
+      * implicit grouping when any item is an aggregate; bare edge vars
+      * expand to their full event row. Returns the projected frame and
+      * the per-item output names (bare-edge items contribute no name). */
+    def projectItems(items: Seq[RetItem], itemNames: Seq[String]): DataFrame = {
+      val hasAgg = items.exists(it => topAgg(it.expr))
       if (hasAgg) {
-        // Cypher implicit grouping: non-aggregate RETURN items are the keys
-        val named = q.items.zip(itemNames).map { case (RetItem(e, _), n) => (e, n) }
+        // Cypher implicit grouping: non-aggregate items are the keys
+        val named = items.zip(itemNames).map { case (RetItem(e, _), n) => (e, n) }
         val keyCols = named.collect { case (e, n) if !topAgg(e) => exprCol(e).as(n) }
         val aggCols = named.collect { case (e, n) if topAgg(e) => aggColOf(e).as(n) }
-        val grouped = acc.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
-        grouped.select(named.map { case (_, n) => col(n) }: _*) // RETURN item order
-      } else if (q.returnAll) {
-        // every named binding's columns: node vids (+ joined node cols) and
-        // full edge rows, in binding order
-        val nodeCols = bound.toSeq.filter(kv => !synth(kv._1)).flatMap { case (v, c) =>
-          val extra = if (nodeJoined(v))
-            g.nodes.columns.toSeq.filter(_ != "vid").map(n => col(s"${v}_$n"))
-          else Seq.empty
-          (col(c).as(s"${v}_vid") +: extra)
-        }
-        val eCols = edgeVars.toSeq.filter(kv => !synth(kv._1)).flatMap(_._2.map(col))
-        acc.select((nodeCols ++ eCols): _*)
+        val grouped =
+          if (keyCols.isEmpty) acc.agg(aggCols.head, aggCols.tail: _*)
+          else acc.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        grouped.select(named.map { case (_, n) => col(n) }: _*) // item order
       } else {
-        val cols = q.items.zip(itemNames).flatMap { case (RetItem(e, alias), n) =>
+        val cols = items.zip(itemNames).flatMap { case (RetItem(e, alias), n) =>
           e match {
             case VarRef(v) if edgeVars.contains(v) =>
               // bare edge variable: the whole event row (reference
@@ -530,23 +537,175 @@ object Cypher {
         }
         acc.select(cols: _*)
       }
-    if (q.distinct) out = out.dropDuplicates()
-    if (q.orderBy.nonEmpty) {
-      // ORDER BY resolves against the PROJECTED columns: an output alias,
-      // a projected `v_prop` name, or a node var's `v_vid`
-      val os = q.orderBy.map { case (e, asc) =>
-        val name = e match {
-          case VarRef(v) if out.columns.contains(v) => v
-          case VarRef(v) if out.columns.contains(s"${v}_vid") => s"${v}_vid"
-          case Prop(v, p) if out.columns.contains(s"${v}_$p") => s"${v}_$p"
-          case Prop(v, p) if (p == "id" || p == "vid") && out.columns.contains(s"${v}_vid") => s"${v}_vid"
-          case other => throw new IllegalArgumentException(
-            s"ORDER BY must reference a returned column, got $other (have ${out.columns.mkString(",")})")
-        }
-        if (asc) col(name).asc else col(name).desc
-      }
-      out = out.orderBy(os: _*)
     }
+
+    def planMatch(part: MatchPart): Unit = {
+      // Normalize: every anonymous node pattern gets a fresh SYNTHETIC
+      // name (excluded from RETURN *). This is what makes chain adjacency
+      // hold through anonymous middles — `()-[e]->()-[f]->()` must join
+      // e.dst = f.src — and lets labels/property maps on anonymous nodes
+      // (`(:even)`, `({id: 3})`) flow through the same constraint loop as
+      // named ones instead of being silently dropped.
+      def namedNp(np: NodePat): NodePat =
+        if (np.v.isDefined) np else np.copy(v = Some(freshEdge()))
+      val chains = part.chains.map(ch =>
+        Chain(namedNp(ch.first), ch.hops.map { case (e, n) => (e, namedNp(n)) }))
+
+      // edge variables assembled by THIS match part (for the pairwise
+      // relationship-uniqueness filters below)
+      val partEdges = Seq.newBuilder[String]
+
+      for (ch <- chains) {
+        if (ch.hops.isEmpty) {
+          // node-only pattern: scan the node table
+          val v = ch.first.v.getOrElse(freshEdge())
+          if (bound.contains(v)) ()
+          else {
+            val renamed = g.nodes.columns.toSeq.map {
+              case "vid" => col("vid").as(s"${v}_vid")
+              case c => col(c).as(s"${v}_$c")
+            }
+            mergeOn(g.nodes.select(renamed: _*), Seq.empty)
+            bound(v) = s"${v}_vid"
+            nodeJoined += v
+          }
+        } else {
+          var leftNode = ch.first
+          for ((edge, rightNode) <- ch.hops) {
+            // Cypher rejects relationship-variable reuse across patterns
+            // (and the reference's same-name edge tables would alias);
+            // fail clearly instead of producing duplicate columns
+            edge.v.foreach { v =>
+              require(!edgeVars.contains(v),
+                s"edge variable $v is already bound — relationship variables cannot repeat in a pattern")
+            }
+            val ev = edge.v.getOrElse(freshEdge())
+            partEdges += ev
+            // the columns the chain's left/right nodes bind to: storage
+            // src/dst for directed arrows, the orientation-exploded __a/__b
+            // pair for undirected patterns
+            val (leftCol, rightCol) =
+              if (edge.undirected) (s"${ev}__a", s"${ev}__b")
+              else if (edge.leftToRight) (s"${ev}_src", s"${ev}_dst")
+              else (s"${ev}_dst", s"${ev}_src")
+            val df = edgeFrame(ev, edge)
+            // shared node vars become equi-join conditions against the new
+            // frame; bindings only take effect after conds are computed
+            val conds = Seq.newBuilder[Column]
+            val preBound = bound.toMap
+            leftNode.v.foreach { v => if (preBound.contains(v)) conds += col(preBound(v)) === col(leftCol) }
+            rightNode.v.foreach { v => if (preBound.contains(v)) conds += col(preBound(v)) === col(rightCol) }
+            // a pattern like (b)-[e]->(b) self-constrains the new frame
+            // directly (it must hold even when this is the first frame)
+            val df2 =
+              if (leftNode.v.isDefined && leftNode.v == rightNode.v && !preBound.contains(leftNode.v.get))
+                df.filter(col(leftCol) === col(rightCol))
+              else df
+            mergeOn(df2, conds.result())
+            leftNode.v.foreach(v => if (!bound.contains(v)) bound(v) = leftCol)
+            rightNode.v.foreach(v => if (!bound.contains(v)) bound(v) = rightCol)
+            leftNode = rightNode
+          }
+        }
+      }
+      require(acc != null, "empty MATCH")
+
+      // relationship uniqueness (openCypher; reference unique_edge_filter,
+      // transpiler/mod.rs:620-646): no two edge variables of ONE MATCH may
+      // bind the same event — identity is the full storage tuple
+      val uniq = partEdges.result()
+      for (i <- uniq.indices; j <- (i + 1) until uniq.length) {
+        val (e1, e2) = (uniq(i), uniq(j))
+        val same = Seq("src", "dst", "ts", "seq", "layer")
+          .map(c => col(s"${e1}_$c") === col(s"${e2}_$c")).reduce(_ && _)
+        acc = acc.filter(!same)
+      }
+
+      // node labels / property maps
+      for (ch <- chains; np <- ch.first +: ch.hops.map(_._2); v <- np.v) {
+        np.label.foreach { l =>
+          joinNodeTable(v)
+          acc = acc.filter(col(s"${v}_node_type") === l)
+        }
+        np.props.foreach { case (k, Lit(value)) =>
+          if (k == "vid" || k == "id") acc = acc.filter(col(bound(v)) === lit(value))
+          else { joinNodeTable(v); acc = acc.filter(col(s"${v}_$k") === lit(value)) }
+        }
+      }
+
+      part.where.foreach { w =>
+        // exprCol may lazily join the node table onto acc — build the
+        // predicate BEFORE reading acc for the filter
+        val pred = exprCol(w)
+        acc = acc.filter(pred)
+      }
+    }
+
+    def planWith(part: WithPart): Unit = {
+      require(acc != null, "WITH before any MATCH/UNWIND")
+      val itemNames = names(part.items)
+      var out = projectItems(part.items, itemNames)
+      if (part.distinct) out = out.dropDuplicates()
+      if (part.orderBy.nonEmpty) out = out.orderBy(resolveOrder(out, part.orderBy): _*)
+      part.limit.foreach(n => out = out.limit(n.toInt))
+      // rebind the scope to exactly the carried items
+      val keepEdges = part.items.collect {
+        case RetItem(VarRef(v), None) if edgeVars.contains(v) => v -> edgeVars(v)
+      }.toMap
+      val newBound = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val newValues = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      part.items.zip(itemNames).foreach { case (RetItem(e, alias), n) =>
+        e match {
+          case VarRef(v) if edgeVars.contains(v) => () // carried whole-row
+          case VarRef(v) if bound.contains(v) =>
+            // a carried node var stays a node var (under its alias if any)
+            newBound(alias.getOrElse(v)) = n
+          case _ => newValues(n) = n
+        }
+      }
+      bound.clear(); bound ++= newBound
+      valueVars.clear(); valueVars ++= newValues
+      edgeVars.clear(); edgeVars ++= keepEdges
+      nodeJoined.clear() // projected columns only — prop reads must rejoin
+      acc = out
+      part.where.foreach { w =>
+        val pred = exprCol(w)
+        acc = acc.filter(pred)
+      }
+    }
+
+    def planUnwind(part: UnwindPart): Unit = {
+      val listCol = exprCol(part.list) // resolves ListLit or a carried list column
+      acc =
+        if (acc == null) g.spark.range(1).select(explode(listCol).as(part.alias))
+        else acc.select(col("*"), explode(listCol).as(part.alias))
+      valueVars(part.alias) = part.alias
+    }
+
+    q.parts.foreach {
+      case p: MatchPart => planMatch(p)
+      case p: WithPart => planWith(p)
+      case p: UnwindPart => planUnwind(p)
+    }
+    require(acc != null, "query needs at least one MATCH or UNWIND part")
+
+    val itemNames = names(q.items)
+    var out: DataFrame =
+      if (q.returnAll) {
+        // every named binding's columns: node vids (+ joined node cols),
+        // full edge rows, and value columns, in binding order
+        val nodeCols = bound.toSeq.filter(kv => !synth(kv._1)).flatMap { case (v, c) =>
+          val extra = if (nodeJoined(v))
+            g.nodes.columns.toSeq.filter(_ != "vid").map(n => col(s"${v}_$n"))
+          else Seq.empty
+          (col(c).as(s"${v}_vid") +: extra)
+        }
+        val eCols = edgeVars.toSeq.filter(kv => !synth(kv._1)).flatMap(_._2.map(col))
+        val vCols = valueVars.values.toSeq.map(col)
+        acc.select((nodeCols ++ eCols ++ vCols): _*)
+      } else projectItems(q.items, itemNames)
+    if (q.distinct) out = out.dropDuplicates()
+    if (q.orderBy.nonEmpty) out = out.orderBy(resolveOrder(out, q.orderBy): _*)
     q.limit.foreach(n => out = out.limit(n.toInt))
     out
   }

@@ -224,14 +224,87 @@ class CypherSpec extends AnyFunSuite {
 
   test("mixed undirected + directed hops chain through the shared node") {
     // (a)-[e1]-(b)-[e2]->(c): b reachable from a either way, then a
-    // directed hop out of b. Independently recomputed with DataFrame ops.
+    // directed hop out of b. Independently recomputed with DataFrame ops,
+    // including relationship uniqueness (e1 and e2 may not bind the same
+    // event — seq is unique per event in this fixture).
     val got = Cypher.run(g,
       "MATCH (a)-[e1]-(b)-[e2]->(c) RETURN a.id AS a, b.id AS b, c.id AS c")
-    val e = g.edges.select($"src", $"dst")
-    val und = e.union(e.select($"dst", $"src")).toDF("a", "b")
-    val exp = und.join(e.toDF("b", "c"), "b").select("a", "b", "c")
+    val e = g.edges.select($"src", $"dst", $"seq")
+    val und = e.select($"src".as("a"), $"dst".as("b"), $"seq".as("q1"))
+      .union(e.select($"dst".as("a"), $"src".as("b"), $"seq".as("q1")))
+      .toDF("a", "b", "q1")
+    val exp = und.join(e.select($"src".as("b"), $"dst".as("c"), $"seq".as("q2")), "b")
+      .filter($"q1" =!= $"q2").select("a", "b", "c")
     assert(got.count() == exp.count())
     assert(got.collect().map(_.toSeq).toSet == exp.collect().map(_.toSeq).toSet)
+  }
+
+  test("relationship uniqueness: two edge vars in one MATCH never bind the same event") {
+    // reference unique_edge_filter (transpiler/mod.rs:620-646): 6 events ->
+    // 6*5 ordered distinct pairs, NOT 36
+    assert(Cypher.run(g, "MATCH (a)-[e1]->(b), (c)-[e2]->(d) RETURN count(*) AS n")
+      .head().getLong(0) == 30L)
+  }
+
+  test("edge variable reuse across patterns is rejected") {
+    val err = intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a)-[e]->(b), (c)-[e]->(d) RETURN count(*) AS n")
+    }
+    assert(err.getMessage.contains("already bound"))
+  }
+
+  test("WITH aggregates then filters (multi-part, cypher.pest MultiPartQuery)") {
+    // out-degree >= 2 nodes: 0 (->1,->2) and 2 (->3,->0)
+    val got = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WITH a, count(*) AS d WHERE d >= 2 RETURN a.id AS id, d ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 2L), (2L, 2L)))
+  }
+
+  test("WITH chains into a second MATCH on the carried node var") {
+    // high-out-degree nodes, then count their INBOUND events
+    val got = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WITH a, count(*) AS d WHERE d >= 2 " +
+        "MATCH (x)-[f]->(a) RETURN a.id AS id, d, count(*) AS n_in ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // node 0: inbound 3->0, 2->0 = 2; node 2: inbound 1->2, 0->2 = 2
+    assert(got.toSeq == Seq((0L, 2L, 2L), (2L, 2L, 2L)))
+  }
+
+  test("WITH carried node var supports later property reads (node table rejoin)") {
+    val got = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WITH a, count(*) AS d WHERE d >= 2 RETURN a.name AS nm ORDER BY nm")
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("two", "zero"))
+  }
+
+  test("WITH ORDER BY + LIMIT shapes the intermediate (top-k subquery)") {
+    val got = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WITH a, max(e.weight) AS w ORDER BY w DESC LIMIT 1 " +
+        "RETURN a.id AS id, w")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((2L, 6.0))) // 2->0 weight 6.0 is the max
+  }
+
+  test("UNWIND a list literal (cypher.pest Unwind)") {
+    val got = Cypher.run(g, "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("UNWIND a collected list from WITH back into rows") {
+    val got = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WITH a, collect(e.ts) AS ts WHERE a.id = 0 " +
+        "UNWIND ts AS t RETURN t ORDER BY t")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
+  test("UNWIND cross-products against matched rows") {
+    val n = Cypher.run(g,
+      "MATCH (a)-[e]->(b) UNWIND [1, 2] AS x RETURN count(*) AS n")
+      .head().getLong(0)
+    assert(n == 12L) // 6 events x 2 list elements
   }
 
   test("NOT binds looser than comparisons (parser fixture mod.rs:1790)") {

@@ -220,6 +220,64 @@ object Queries2 {
       g.edgePropertyAt("weight", tHalf)
         .select(col("src"), col("dst"), col("ts"), round(col("value"), 2).as("value"))
     }),
+    // temporal reachability (pathing/temporal_reachability.rs:70) from the
+    // min-vid node at t=0: per node the taint-history size and first taint
+    // time (scalar columns — the driver compare cannot hash array cells)
+    "g_temporal_reach" -> ((s, d) => {
+      val g = graph(s, d)
+      val srcName = g.nodes.agg(min(col("vid"))).head().getLong(0).toString
+      Pathing.temporallyReachableNodes(g, maxHops = 100L, startTime = 0L, seeds = Seq(srcName))
+        .select(col("vid").as("id"), size(col("history")).cast("long").as("n_events"),
+          when(size(col("history")) > 0,
+            split(element_at(col("history"), 1), ":").getItem(0).cast("long")).as("first_t"))
+    }),
+    // largest connected component (components/lcc.rs:25-68): member ids
+    "g_lcc" -> ((s, d) =>
+      graft.algo.Wcc.largestComponent(graph(s, d)).nodes.select(col("vid").as("id"))),
+    // per-node local clustering coefficient (local_clustering_coefficient.rs:57-77)
+    "g_local_clustering" -> ((s, d) =>
+      Metrics.localClusteringCoefficient(graph(s, d))
+        .select(col("vid").as("id"), round(col("value"), 6).as("value"))),
+    // weighted shortest paths from the min-vid node over out-edges
+    // (pathing/dijkstra.rs:49-200), weight = the order totalprice
+    "g_dijkstra" -> ((s, d) => {
+      val g = weightedGraph(s, d)
+      val srcName = g.nodes.agg(min(col("vid"))).head().getLong(0).toString
+      val targets = g.nodes.select(col("name")).collect().map(_.getString(0)).toSeq
+      Pathing.dijkstra(g, srcName, targets, weightCol = Some("weight"), direction = "out")
+        .select(col("target").cast("long").as("id"), round(col("cost"), 2).as("cost"))
+    }),
+    // exact seeded LPA (lpa.rs, ChaCha12 replay): labels are shuffle-order
+    // dependent, so the oracle checks the dumped PARTITION's convergence
+    // invariant instead — every node's label must be the argmax neighbour
+    // label (ties to the largest numeric GID, mirroring Lpa.runExact's
+    // update rule); the Spark side computes the same numbers distributed.
+    "g_lpa_exact" -> ((s, d) => {
+      val g = graph(s, d)
+      val part = Lpa.runExact(g, Some(Array.fill[Byte](32)(5)))
+        .select(col("vid").as("id"), col("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (Verify.isVerifyRun) // Bench at another sfDir must not clobber the dump
+        part.coalesce(1).write.mode("overwrite")
+          .parquet(s"${Verify.AuxDir}/lpa_partition.parquet")
+      val stats = part.agg(count(lit(1)).as("n_labeled"),
+        count_distinct(col("label")).as("n_communities")).head()
+      // convergence invariant, computed distributed: per node the argmax
+      // neighbour label with (count, numeric GID) lexicographic ordering
+      val nbr = g.undirectedPairs
+        .join(part.select(col("id").as("nb"), col("label")), col("b") === col("nb"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+      val best = nbr.groupBy(col("a"))
+        .agg(max_by(col("label"), struct(col("c"), col("label").cast("long"))).as("best"))
+      val unstable = part.join(best, part("id") === best("a"))
+        .filter(col("label") =!= col("best")).count()
+      part.unpersist()
+      one(s,
+        "n_nodes" -> lit(g.nodeCount),
+        "n_labeled" -> lit(stats.getLong(0)),
+        "n_communities" -> lit(stats.getLong(1)),
+        "n_unstable" -> lit(unstable))
+    }),
     "g_bipartite_projection" -> ((s, d) => {
       val g = graph(s, d)
       val pivots = g.nodes.filter(col("vid") % 2 === 0).select(col("vid"))
@@ -439,6 +497,104 @@ object Queries2 {
         |SELECT src, dst, CAST(max(ts) AS BIGINT) AS ts,
         |       round(arg_max(value, ts), 2) AS value
         |FROM pe WHERE ts <= (SELECT t FROM tt) GROUP BY src, dst""".stripMargin,
+    // temporal reachability as a recursive min-fixpoint (crawl_seir's
+    // shape with p=1 and incubation 0): inf(v,t) = taint times, the final
+    // earliest per node is the fixpoint min; the history is then every
+    // DISTINCT (dst, ts, src) event with ts >= the tainting node's
+    // earliest, plus the seed's synthetic start entry at t=0.
+    "g_temporal_reach" ->
+      s"""WITH RECURSIVE $sqlGraph,
+         |sd AS (SELECT min(id) AS v FROM nodes),
+         |inf(v, t) AS (
+         |  SELECT v, CAST(0 AS BIGINT) FROM sd
+         |  UNION
+         |  SELECT e.dst, e.ts FROM inf i JOIN ev e ON e.src = i.v AND e.ts >= i.t
+         |),
+         |mn AS (SELECT v, min(t) AS mt FROM inf GROUP BY v),
+         |hist AS (
+         |  SELECT DISTINCT e.dst AS v, e.ts AS t, e.src AS s
+         |  FROM ev e JOIN mn ON mn.v = e.src AND e.ts >= mn.mt
+         |  UNION ALL
+         |  SELECT v, CAST(0 AS BIGINT), CAST(-1 AS BIGINT) FROM sd
+         |),
+         |agg AS (SELECT v, count(*) AS c, min(t) AS ft FROM hist GROUP BY v)
+         |SELECT n.id, CAST(coalesce(a.c, 0) AS BIGINT) AS n_events,
+         |  CAST(a.ft AS BIGINT) AS first_t
+         |FROM nodes n LEFT JOIN agg a ON a.v = n.id""".stripMargin,
+    // largest WCC (ties -> smallest min-vid representative), member ids
+    "g_lcc" ->
+      s"""WITH RECURSIVE $sqlGraph,
+         |reach(id, c) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT u.b, r.c FROM reach r JOIN und u ON u.a = r.id
+         |),
+         |comp AS (SELECT id, min(c) AS component FROM reach GROUP BY id),
+         |top AS (SELECT component FROM comp GROUP BY component
+         |        ORDER BY count(*) DESC, component LIMIT 1)
+         |SELECT id FROM comp WHERE component = (SELECT component FROM top)""".stripMargin,
+    // 2*T_v / (d_v (d_v - 1)) over distinct non-self undirected neighbours
+    "g_local_clustering" ->
+      s"""WITH $sqlGraph,
+         |simple AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |           FROM edges WHERE src <> dst),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM simple e1 JOIN simple e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN simple e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |tcnt AS (SELECT v, count(*) AS t FROM (
+         |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri) q GROUP BY v),
+         |deg AS (SELECT a AS id, count(*) AS d FROM und WHERE a <> b GROUP BY a)
+         |SELECT n.id, round(CASE WHEN coalesce(deg.d, 0) <= 1 THEN 0.0
+         |  ELSE 2.0 * coalesce(t.t, 0) / (deg.d * (deg.d - 1)) END, 6) AS value
+         |FROM nodes n LEFT JOIN deg ON deg.id = n.id
+         |LEFT JOIN tcnt t ON t.v = n.id""".stripMargin,
+    // Bellman-Ford rounds with a zero self-loop carry (the pagerank-oracle
+    // trick): round r covers every path of <= r edges; min over rounds =
+    // the shortest cost. 100 rounds validated >= the longest min-cost
+    // path's hop count at sf <= 0.1.
+    "g_dijkstra" ->
+      """WITH RECURSIVE evw AS (
+        |  SELECT o_orderkey % 1009 AS src, (o_orderkey * 31 + o_custkey) % 1009 AS dst,
+        |         o_totalprice AS w
+        |  FROM orders WHERE o_orderkey % 7 < 3),
+        |n2 AS (SELECT DISTINCT id FROM (SELECT src AS id FROM evw
+        |       UNION ALL SELECT dst FROM evw) t0),
+        |we AS (SELECT src, dst, min(w) AS w FROM evw GROUP BY 1, 2),
+        |trans AS (SELECT src, dst, w FROM we
+        |          UNION ALL SELECT id, id, CAST(0 AS DOUBLE) FROM n2),
+        |dist(r, id, c) AS (
+        |  SELECT 0, (SELECT min(id) FROM n2), CAST(0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT x.r, x.id, x.c FROM (
+        |    SELECT d.r + 1 AS r, t.dst AS id, min(d.c + t.w) AS c
+        |    FROM dist d JOIN trans t ON t.src = d.id
+        |    WHERE d.r < 100
+        |    GROUP BY 1, 2
+        |  ) x
+        |)
+        |SELECT id, round(min(c), 2) AS cost FROM dist GROUP BY id""".stripMargin,
+    // exact-LPA partition consistency over the aux dump: every node's
+    // label must be the argmax neighbour label with (count, numeric GID)
+    // tie-break — Lpa.runExact's converged update rule — plus the global
+    // partition counts. Labels themselves are ChaCha12-shuffle-order
+    // dependent (fixture-locked in LpaSpec), not SQL-recomputable.
+    "g_lpa_exact" ->
+      s"""WITH $sqlGraph,
+         |part AS (SELECT id, label
+         |         FROM read_parquet('${Verify.AuxDir}/lpa_partition.parquet/*.parquet')),
+         |cnt AS (SELECT u.a AS id, p.label, count(*) AS c
+         |        FROM und u JOIN part p ON p.id = u.b GROUP BY 1, 2),
+         |best AS (SELECT id, label FROM (
+         |  SELECT id, label, row_number() OVER (PARTITION BY id
+         |    ORDER BY c DESC, CAST(label AS BIGINT) DESC) AS rn FROM cnt)
+         |  WHERE rn = 1),
+         |unst AS (SELECT count(*) AS n FROM part p JOIN best b ON b.id = p.id
+         |         WHERE p.label <> b.label)
+         |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+         |       (SELECT count(*) FROM part) AS n_labeled,
+         |       (SELECT count(DISTINCT label) FROM part) AS n_communities,
+         |       (SELECT n FROM unst) AS n_unstable""".stripMargin,
     "g_temporal_motifs" -> motifCensusSql(32L, local = false),
     "g_local_motifs" -> motifCensusSql(32L, local = true),
     // Brandes betweenness (first 50 sources, normalised) in recursive SQL:

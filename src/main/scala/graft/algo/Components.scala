@@ -36,54 +36,63 @@ object Components {
     * extract whole SCCs via frontier semi-joins until the residual fits —
     * on a web bowtie the first pivot round removes the giant cyclic core,
     * so no O(core) collect ever reaches the driver. */
-  def scc(g: LinkGraph, trimIters: Int = 50): DataFrame = {
+  def scc(g: LinkGraph, trimIters: Int = 50): DataFrame =
+    graft.bsp.IterativeConf.withStablePartitioning(g.spark) { scc0(g, trimIters) }
+
+  private def scc0(g: LinkGraph, trimIters: Int): DataFrame = {
     val spark = g.spark
     import spark.implicits._
     // self-loops never bind a node into a larger SCC; dropping them keeps
     // the partition identical and lets trim peel pure-self-loop nodes
     val e0 = g.dedupEdges.filter($"src" =!= $"dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var alive = e0.select($"src".as("vid"))
-      .join(e0.select($"dst".as("vid")), Seq("vid"), "left_semi")
-      .distinct().localCheckpoint(true)
-    var aliveCount = alive.count()
+    // `eA` is carried INCREMENTALLY: always the edge set induced by the
+    // current alive node set, shrunk in place each trim round / after each
+    // FW-BW extraction — never re-derived from e0 (r4 verdict: the two
+    // full-e0 semi-joins per round were pure fixed cost at small sf and
+    // wasted re-scans at scale). Lazy localCheckpoints fuse the
+    // materialise+count into ONE Spark job per round.
+    def induced(e: DataFrame, keep: DataFrame): DataFrame = e
+      .join(keep.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
 
-    def aliveEdges(): DataFrame = e0
-      .join(alive.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
-      .join(alive.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+    var eA = e0.localCheckpoint(false)
+    var alive: DataFrame = null
+    var aliveCount = -1L // unknown until the first trim round
 
     // distributed trim: iterate until every survivor has an in- and an
     // out-edge within the surviving set (every dropped node is a singleton)
     def trim(): Unit = {
       var iter = 0
-      var done = aliveCount == 0
+      var done = false
       while (!done && iter < trimIters) {
         iter += 1
-        val e = aliveEdges()
-        val next = e.select($"src".as("vid")).distinct()
-          .join(e.select($"dst".as("vid")).distinct(), Seq("vid"), "left_semi")
-          .localCheckpoint(true)
-        val c = next.count()
-        done = c == aliveCount
+        val next = eA.select($"src".as("vid")).distinct()
+          .join(eA.select($"dst".as("vid")).distinct(), Seq("vid"), "left_semi")
+          .localCheckpoint(false)
+        val c = next.count() // one job: materialises + caches + counts
+        done = c == aliveCount || c == 0
         alive = next
+        if (!done) eA = induced(eA, next).localCheckpoint(false)
         aliveCount = c
       }
     }
 
-    // BFS closure of the pivot inside the residual, forward or backward
+    // BFS closure of the pivot inside the residual, forward or backward.
+    // One job per level: the frontier count materialises the checkpoint;
+    // the visited union is lazy and materialises inside next level's job.
     def reach(eAlive: DataFrame, pivot: Long, forward: Boolean): DataFrame = {
       val e = if (forward) eAlive else eAlive.select($"dst".as("src"), $"src".as("dst"))
-      var visited = Seq(pivot).toDF("vid").localCheckpoint(true)
+      var visited = Seq(pivot).toDF("vid").localCheckpoint(false)
       var frontier = visited
       var exhausted = false
       while (!exhausted) {
         val next = frontier.join(e, frontier("vid") === e("src"))
           .select($"dst".as("vid")).distinct()
           .join(visited, Seq("vid"), "left_anti")
-          .localCheckpoint(true)
-        exhausted = next.isEmpty
-        if (!exhausted) { visited = visited.union(next).localCheckpoint(true); frontier = next }
+          .localCheckpoint(false)
+        exhausted = next.count() == 0
+        if (!exhausted) { visited = visited.union(next).localCheckpoint(false); frontier = next }
       }
       visited
     }
@@ -99,11 +108,10 @@ object Components {
       if (aliveCount == 0) {
         finished = true
       } else {
-        val eAlive = aliveEdges().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val eCount = eAlive.count()
+        val eCount = eA.count() // cached by trim's last materialisation
         if (aliveCount + eCount <= bound) {
           // residual Tarjan on the (now small) cyclic core
-          residual = Some((alive.as[Long].collect().sorted, eAlive.as[(Long, Long)].collect()))
+          residual = Some((alive.as[Long].collect().sorted, eA.as[(Long, Long)].collect()))
           finished = true
         } else if (rounds >= maxPivotRounds) {
           // fail fast instead of a silent driver OOM
@@ -117,17 +125,18 @@ object Components {
           // pivot = min alive vid, so it is also the component's canonical
           // min-vid label (the component is a subset of alive).
           val pivot = alive.agg(min($"vid")).head().getLong(0)
-          val f = reach(eAlive, pivot, forward = true)
-          val b = reach(eAlive, pivot, forward = false)
+          val f = reach(eA, pivot, forward = true)
+          val b = reach(eA, pivot, forward = false)
           val comp = f.join(b, Seq("vid"), "left_semi").localCheckpoint(true)
           extracted += comp.select($"vid", lit(pivot).as("component_vid"))
-          alive = alive.join(comp, Seq("vid"), "left_anti").localCheckpoint(true)
+          alive = alive.join(comp, Seq("vid"), "left_anti").localCheckpoint(false)
+          eA = eA.join(comp.withColumnRenamed("vid", "src"), Seq("src"), "left_anti")
+            .join(comp.withColumnRenamed("vid", "dst"), Seq("dst"), "left_anti")
+            .localCheckpoint(false)
           aliveCount = alive.count()
         }
-        eAlive.unpersist()
       }
     }
-    e0.unpersist()
 
     val residualRows = residual match {
       case Some((ids, edges)) => tarjanMinVid(ids, edges).toSeq.toDF("vid", "component_vid")
@@ -206,28 +215,32 @@ object Components {
   def inComponentOf(g: LinkGraph, source: String): DataFrame =
     reach(g, source, forward = false)
 
-  private def reach(g: LinkGraph, source: String, forward: Boolean): DataFrame = {
-    val spark = g.spark
-    import spark.implicits._
-    val e = if (forward) g.dedupEdges else g.dedupEdges.select($"dst".as("src"), $"src".as("dst"))
-    val eCached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    eCached.count()
-    val src = g.nodes.filter($"name" === source).select($"vid")
-    var frontier = src.join(eCached, src("vid") === eCached("src"))
-      .select($"dst".as("vid")).distinct().localCheckpoint(true)
-    var visited = frontier
-    var done = frontier.isEmpty
-    while (!done) {
-      val next = frontier.join(eCached, frontier("vid") === eCached("src"))
-        .select($"dst".as("vid")).distinct()
-        .join(visited, Seq("vid"), "left_anti")
-        .localCheckpoint(true)
-      done = next.isEmpty
-      if (!done) { visited = visited.union(next).localCheckpoint(true); frontier = next }
+  private def reach(g: LinkGraph, source: String, forward: Boolean): DataFrame =
+    graft.bsp.IterativeConf.withStablePartitioning(g.spark) {
+      val spark = g.spark
+      import spark.implicits._
+      val e = if (forward) g.dedupEdges else g.dedupEdges.select($"dst".as("src"), $"src".as("dst"))
+      val eCached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val src = g.nodes.filter($"name" === source).select($"vid")
+      // one job per BFS level: the count materialises the lazily-
+      // checkpointed frontier; the visited union is lazy and materialises
+      // inside the next level's job (r4 verdict: the eager-checkpoint +
+      // isEmpty + eager-union trio was 3 jobs/level of fixed cost)
+      var frontier = src.join(eCached, src("vid") === eCached("src"))
+        .select($"dst".as("vid")).distinct().localCheckpoint(false)
+      var visited = frontier
+      var done = frontier.count() == 0
+      while (!done) {
+        val next = frontier.join(eCached, frontier("vid") === eCached("src"))
+          .select($"dst".as("vid")).distinct()
+          .join(visited, Seq("vid"), "left_anti")
+          .localCheckpoint(false)
+        done = next.count() == 0
+        if (!done) { visited = visited.union(next).localCheckpoint(false); frontier = next }
+      }
+      eCached.unpersist()
+      visited.join(g.nodes, Seq("vid")).select($"vid", $"name")
     }
-    eCached.unpersist()
-    visited.join(g.nodes, Seq("vid")).select($"vid", $"name")
-  }
 
   /** All-nodes ancestor (dir="in") or descendant (dir="out") sets:
     * (vid, name, members: array of member names, sorted by vid). */

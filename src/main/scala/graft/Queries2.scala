@@ -34,6 +34,32 @@ object Queries2 {
   /** Weight-retaining orders graph memoized per (session, sfDir):
     * fromRawEdges persists two tables, so per-invocation construction in
     * g_edge_prop_at leaked cached RDDs across the bench's two passes. */
+  /** Bellman-Ford-rounds oracle for both weighted-SSSP drivers (g_dijkstra,
+    * g_delta_sssp) — round r covers every path of <= r edges via a zero
+    * self-loop carry; min over rounds = the shortest cost. 100 rounds
+    * validated >= the longest min-cost path's hop count at sf <= 0.1. */
+  private val dijkstraSql: String =
+    """WITH RECURSIVE evw AS (
+      |  SELECT o_orderkey % 1009 AS src, (o_orderkey * 31 + o_custkey) % 1009 AS dst,
+      |         o_totalprice AS w
+      |  FROM orders WHERE o_orderkey % 7 < 3),
+      |n2 AS (SELECT DISTINCT id FROM (SELECT src AS id FROM evw
+      |       UNION ALL SELECT dst FROM evw) t0),
+      |we AS (SELECT src, dst, min(w) AS w FROM evw GROUP BY 1, 2),
+      |trans AS (SELECT src, dst, w FROM we
+      |          UNION ALL SELECT id, id, CAST(0 AS DOUBLE) FROM n2),
+      |dist(r, id, c) AS (
+      |  SELECT 0, (SELECT min(id) FROM n2), CAST(0 AS DOUBLE)
+      |  UNION ALL
+      |  SELECT x.r, x.id, x.c FROM (
+      |    SELECT d.r + 1 AS r, t.dst AS id, min(d.c + t.w) AS c
+      |    FROM dist d JOIN trans t ON t.src = d.id
+      |    WHERE d.r < 100
+      |    GROUP BY 1, 2
+      |  ) x
+      |)
+      |SELECT id, round(min(c), 2) AS cost FROM dist GROUP BY id""".stripMargin
+
   private val weightedGraphCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LinkGraph]
 
@@ -246,6 +272,15 @@ object Queries2 {
       val targets = g.nodes.select(col("name")).collect().map(_.getString(0)).toSeq
       Pathing.dijkstra(g, srcName, targets, weightCol = Some("weight"), direction = "out")
         .select(col("target").cast("long").as("id"), round(col("cost"), 2).as("cost"))
+    }),
+    // distributed delta-stepping over the same weighted graph — must land
+    // on exactly the same costs as the driver Dijkstra (same oracle SQL)
+    "g_delta_sssp" -> ((s, d) => {
+      val g = weightedGraph(s, d)
+      val srcName = g.nodes.agg(min(col("vid"))).head().getLong(0).toString
+      Pathing.deltaStepping(g, srcName, delta = 0.0, weightCol = Some("weight"),
+        direction = "out")
+        .select(col("vid").as("id"), round(col("dist"), 2).as("cost"))
     }),
     // exact seeded LPA (lpa.rs, ChaCha12 replay): labels are shuffle-order
     // dependent, so the oracle checks the dumped PARTITION's convergence
@@ -553,27 +588,9 @@ object Queries2 {
     // trick): round r covers every path of <= r edges; min over rounds =
     // the shortest cost. 100 rounds validated >= the longest min-cost
     // path's hop count at sf <= 0.1.
-    "g_dijkstra" ->
-      """WITH RECURSIVE evw AS (
-        |  SELECT o_orderkey % 1009 AS src, (o_orderkey * 31 + o_custkey) % 1009 AS dst,
-        |         o_totalprice AS w
-        |  FROM orders WHERE o_orderkey % 7 < 3),
-        |n2 AS (SELECT DISTINCT id FROM (SELECT src AS id FROM evw
-        |       UNION ALL SELECT dst FROM evw) t0),
-        |we AS (SELECT src, dst, min(w) AS w FROM evw GROUP BY 1, 2),
-        |trans AS (SELECT src, dst, w FROM we
-        |          UNION ALL SELECT id, id, CAST(0 AS DOUBLE) FROM n2),
-        |dist(r, id, c) AS (
-        |  SELECT 0, (SELECT min(id) FROM n2), CAST(0 AS DOUBLE)
-        |  UNION ALL
-        |  SELECT x.r, x.id, x.c FROM (
-        |    SELECT d.r + 1 AS r, t.dst AS id, min(d.c + t.w) AS c
-        |    FROM dist d JOIN trans t ON t.src = d.id
-        |    WHERE d.r < 100
-        |    GROUP BY 1, 2
-        |  ) x
-        |)
-        |SELECT id, round(min(c), 2) AS cost FROM dist GROUP BY id""".stripMargin,
+    "g_dijkstra" -> dijkstraSql,
+    // delta-stepping settles the identical cost table
+    "g_delta_sssp" -> dijkstraSql,
     // exact-LPA partition consistency over the aux dump: every node's
     // label must be the argmax neighbour label with (count, numeric GID)
     // tie-break — Lpa.runExact's converged update rule — plus the global

@@ -106,7 +106,8 @@ object Pathing {
   def dijkstra(g: LinkGraph, source: String, targets: Seq[String],
                weightCol: Option[String] = None, direction: String = "both"): DataFrame = {
     graft.bsp.DriverGuard.checkEdges(g, "Pathing.dijkstra",
-      "Pathing.sssp (distributed BFS) for unweighted distances")
+      "Pathing.deltaStepping (distributed weighted SSSP) for costs, or " +
+        "Pathing.sssp (distributed BFS) for unweighted distances")
     val spark = g.spark
     import spark.implicits._
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
@@ -153,6 +154,101 @@ object Pathing {
         }
     }
     spark.createDataset(result).toDF("target", "cost", "path")
+  }
+
+  /** Distributed weighted single-source shortest paths by delta-stepping
+    * (Meyer & Sanders, J. Algorithms 49(1), 2003) — the scale alternative
+    * `dijkstra`'s DriverGuard names. Distances are settled bucket by
+    * bucket (bucket i = dists in [i*delta, (i+1)*delta)): light edges
+    * (w <= delta) relax iteratively inside the bucket, heavy edges once
+    * after it settles, so the superstep count is O(maxDist/delta +
+    * light-path length) instead of one level per hop. All state moves
+    * through hash-partitioned joins (shuffle_hash-hinted frontier against
+    * the persisted src-partitioned edge tables); one Spark job per inner
+    * relaxation (lazy localCheckpoint fused with the frontier count).
+    *
+    * `delta = 0` auto-sizes to the mean edge weight. Returns (vid, name,
+    * dist) for reached nodes only — matching `dijkstra`'s costs exactly
+    * on non-negative weights (parity-spec-locked). */
+  def deltaStepping(g: LinkGraph, source: String, delta: Double = 0.0,
+                    weightCol: Option[String] = None, direction: String = "both",
+                    maxBuckets: Long = 1000000L): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    graft.bsp.IterativeConf.withStablePartitioning(spark) {
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w0 = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val dir0 = g.edges.select($"src", $"dst", w0.as("w"))
+    val dirEdges = direction match {
+      case "out"  => dir0
+      case "in"   => dir0.select($"dst".as("src"), $"src".as("dst"), $"w")
+      case _      => dir0.union(dir0.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    }
+    // cheapest parallel edge only; negative weights break the settled-
+    // bucket invariant (as they do Dijkstra's) — fail fast
+    val edges = dirEdges.groupBy($"src", $"dst").agg(min($"w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = edges.agg(avg($"w"), min($"w")).head()
+    if (!stats.isNullAt(1))
+      require(stats.getDouble(1) >= 0.0, "deltaStepping requires non-negative edge weights")
+    val d0 = if (delta > 0) delta
+             else if (stats.isNullAt(0) || stats.getDouble(0) <= 0.0) 1.0
+             else stats.getDouble(0)
+    val light = edges.filter($"w" <= d0).repartition(p, $"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val heavy = edges.filter($"w" > d0).repartition(p, $"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val heavyCount = heavy.count()
+    light.count()
+    edges.unpersist()
+
+    val inf = lit(Double.MaxValue)
+    // improvements-only merge of relaxation candidates into (vid, dist)
+    def relax(frontier: DataFrame, e: DataFrame, state: DataFrame): DataFrame = {
+      val cand = frontier.hint("shuffle_hash").join(e, frontier("vid") === e("src"))
+        .select(e("dst").as("vid"), (frontier("dist") + e("w")).as("nd"))
+        .groupBy($"vid").agg(min($"nd").as("nd"))
+      state.join(cand, Seq("vid"), "full")
+        .select($"vid",
+          least(coalesce($"dist", inf), coalesce($"nd", inf)).as("dist"),
+          (coalesce($"nd", inf) < coalesce($"dist", inf)).as("improved"))
+    }
+
+    var state = g.nodes.filter($"name" === source)
+      .select($"vid", lit(0.0).as("dist")).localCheckpoint(false)
+    var bucket = if (state.count() == 0) -1L else 0L
+    var outer = 0L
+    while (bucket >= 0) {
+      outer += 1
+      if (outer > maxBuckets) throw new IllegalStateException(
+        s"deltaStepping exceeded $maxBuckets buckets (delta=$d0 too small for the weight range)")
+      val lo = bucket * d0
+      val hi = (bucket + 1) * d0
+      // light-edge inner loop: settles every node whose final dist lands
+      // in [lo, hi) — improvements can only land at or above lo (lower
+      // buckets are settled), so the frontier filter is dist < hi
+      var frontier = state.filter($"dist" >= lo && $"dist" < hi).localCheckpoint(false)
+      var fCount = frontier.count()
+      while (fCount > 0) {
+        val merged = relax(frontier, light, state).localCheckpoint(false)
+        frontier = merged.filter($"improved" && $"dist" < hi)
+          .select($"vid", $"dist").localCheckpoint(false)
+        fCount = frontier.count() // one job: materialises merged + frontier
+        state = merged.select($"vid", $"dist")
+      }
+      // heavy edges fire once per settled bucket; then jump to the next
+      // non-empty bucket (one agg job also materialises the heavy merge)
+      if (heavyCount > 0) {
+        val bNodes = state.filter($"dist" >= lo && $"dist" < hi)
+        state = relax(bNodes, heavy, state).select($"vid", $"dist").localCheckpoint(false)
+      }
+      val nextRow = state.agg(min(when($"dist" >= hi, floor($"dist" / d0).cast("long")))).head()
+      // max(_, bucket+1): dist/d0 can round down across the hi boundary
+      bucket = if (nextRow.isNullAt(0)) -1L else math.max(nextRow.getLong(0), bucket + 1)
+    }
+    light.unpersist(); heavy.unpersist()
+    state.join(g.nodes, Seq("vid")).select($"vid", $"name", $"dist")
+    }
   }
 
   /** Returns (vid, name, history) where history is the sorted array of

@@ -125,6 +125,39 @@ class AlgoSpec extends AnyFunSuite {
     assert(r2 == Map("D" -> 5.0, "E" -> 3.0, "F" -> 6.0))
   }
 
+  test("delta-stepping matches driver Dijkstra on random weighted graphs") {
+    // deterministic LCG graph: 40 nodes, 160 weighted edges
+    var s = 12345L
+    def nxt(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33 }
+    val edges = (0 until 160).map { i =>
+      val u = nxt() % 40; val v = nxt() % 40
+      val w = 0.5 + (nxt() % 1000) / 100.0
+      (u, v, i.toLong, i.toLong, "_default", w)
+    } :+ (0L, 1L, 160L, 160L, "_default", 2.5) // source node 0 always exists
+    val sp = spark; import sp.implicits._
+    val e = edges.toDF("src", "dst", "ts", "seq", "layer", "weight")
+    val g = LinkGraph.fromRawEdges(e)
+    val names = g.nodes.select($"name").as[String].collect().toSeq
+    for (dir <- Seq("both", "out"); delta <- Seq(0.0, 1.0, 50.0)) {
+      val want = Pathing.dijkstra(g, "0", names, Some("weight"), dir).collect()
+        .map(r => r.getAs[String]("target") -> r.getAs[Double]("cost")).toMap
+      val got = Pathing.deltaStepping(g, "0", delta, Some("weight"), dir).collect()
+        .map(r => r.getAs[String]("name") -> r.getAs[Double]("dist")).toMap
+      assert(got.keySet == want.keySet, s"dir=$dir delta=$delta reached sets differ")
+      for ((k, c) <- want)
+        assert(math.abs(got(k) - c) < 1e-9, s"dir=$dir delta=$delta node $k: ${got(k)} vs $c")
+    }
+  }
+
+  test("delta-stepping rejects negative weights") {
+    val e = Seq((1L, 2L, 0L, 0L, "_default", -1.0))
+      .toDF("src", "dst", "ts", "seq", "layer", "weight")
+    val g = LinkGraph.fromRawEdges(e)
+    intercept[IllegalArgumentException] {
+      Pathing.deltaStepping(g, "1", 0.0, Some("weight"), "out").collect()
+    }
+  }
+
   test("temporal reachability fixture (test_algorithms.py:290-308)") {
     val edges = Seq(
       (10L, 1L, 3L), (11L, 1L, 2L), (12L, 1L, 2L), (9L, 1L, 2L), (12L, 2L, 4L),

@@ -129,7 +129,10 @@ object Media {
         }
         out
       } else if (b.length >= 10 && (ascii(b, 0, 6) == "GIF87a" || ascii(b, 0, 6) == "GIF89a"))
-        Some((u16le(b, 6), u16le(b, 8), 0, 1))
+        // frame count from the real block walk (GIF89a spec §20-§26):
+        // each image descriptor (0x2C) is one frame; truncated payloads
+        // keep the header-only default of 1
+        Some((u16le(b, 6), u16le(b, 8), 0, math.max(1, gifFrames(b))))
       else if (b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE") {
         // pos walks in Long: size is an untrusted u32, and the old Int
         // advance (8 + size.toInt + (size.toInt & 1)) truncated sizes near
@@ -154,6 +157,45 @@ object Media {
           Some((0, 0, rate, frames))
         } else None
       } else None
+    }
+
+    /** Count image descriptors by walking the GIF block structure: header
+      * (6) + logical screen descriptor (7) + optional global colour table,
+      * then 0x21 extensions (size-prefixed sub-blocks), 0x2C image
+      * descriptors (descriptor + optional local colour table + LZW code
+      * size + sub-blocks), 0x3B trailer. Every step advances `pos`, so the
+      * walk terminates on any input; malformed tails stop the count. */
+    private def gifFrames(b: Array[Byte]): Int = {
+      var pos = 13
+      if (b.length > 10 && (b(10) & 0x80) != 0) pos += 3 * (1 << ((b(10) & 7) + 1))
+      var frames = 0
+      var done = false
+      def skipSubBlocks(): Unit = {
+        var sz = if (pos < b.length) b(pos) & 0xff else 0
+        pos += 1
+        while (sz != 0 && pos < b.length) {
+          pos += sz
+          sz = if (pos < b.length) b(pos) & 0xff else 0
+          pos += 1
+        }
+      }
+      while (!done && pos < b.length) {
+        (b(pos) & 0xff) match {
+          case 0x2c =>
+            if (pos + 10 <= b.length) {
+              frames += 1
+              val lflags = b(pos + 9) & 0xff
+              pos += 10
+              if ((lflags & 0x80) != 0) pos += 3 * (1 << ((lflags & 7) + 1))
+              pos += 1 // LZW minimum code size
+              skipSubBlocks()
+            } else { done = true }
+          case 0x21 => pos += 2; skipSubBlocks()
+          case 0x3b => done = true
+          case _    => done = true // unknown block: keep the frames seen
+        }
+      }
+      frames
     }
 
     override def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Int) =

@@ -105,4 +105,36 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(rows(1L).width == 640 && rows(1L).height == 480)
     assert(rows(2L).sample_rate == 44100 && rows(2L).n_frames == 2)
   }
+
+  // a real 3-frame animated GIF: LSD 320x200, a graphic control extension
+  // before frame 2, minimal LZW sub-blocks per frame, 0x3B trailer
+  val gif3: Array[Byte] = {
+    def frame(left: Int, top: Int): Array[Byte] =
+      bytes(0x2c, left, 0x00, top, 0x00, 0x10, 0x00, 0x10, 0x00, // 16x16 at (left,top)
+        0x00, // no local colour table
+        0x02, // LZW min code size
+        0x01, 0x44, // one 1-byte data sub-block
+        0x00) // sub-block terminator
+    val gce = bytes(0x21, 0xf9, 0x04, 0x00, 0x0a, 0x00, 0x00, 0x00)
+    "GIF89a".getBytes ++ bytes(0x40, 0x01, 0xc8, 0x00, 0x00, 0x00, 0x00) ++
+      frame(0, 0) ++ gce ++ frame(16, 0) ++ frame(32, 0) ++ bytes(0x3b)
+  }
+
+  test("multi-frame GIF: real block walk counts frames; sample + resize plans run on them") {
+    import spark.implicits._
+    assert(Media.HeaderCodec.parse(gif3).contains((320, 200, 0, 3)))
+    // truncated-header GIF keeps the 1-frame default (oracle row 1002 pinned)
+    assert(Media.HeaderCodec.parse(gif).contains((320, 200, 0, 1)))
+
+    val media = Seq((7L, "video", gif3)).toDF("media_id", "kind", "payload")
+    val feats = Media.extractFeatures(media, Media.HeaderCodec)
+    assert(feats.collect().head.n_frames == 3)
+    // frame sampling: stride 2 over 3 frames -> indices 0, 2
+    val sampled = Media.sampleFrames(feats, stride = 2, maxFrames = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(sampled.toSeq == Seq((7L, 0), (7L, 2)))
+    // resize: 320x200 into a 100x100 box, aspect preserved
+    val rp = Media.resizePlan(feats, maxW = 100, maxH = 100).collect().head
+    assert(rp.getAs[Int]("target_width") == 100 && rp.getAs[Int]("target_height") == 63)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.graph.LinkGraph
-import graft.algo.{Components, Hits, Lpa, Metrics, PageRank, Pathing, ResultOps, Wcc}
+import graft.algo.{Components, Hits, Lpa, Metrics, PageRank, Pathing, ResultOps, RichClub, Wcc}
 import graft.dedup.Dedup
 import graft.sim.Ann
 import graft.text.TextOps
@@ -66,6 +66,17 @@ object Queries2 {
   private def weightedGraph(s: SparkSession, d: String): LinkGraph =
     weightedGraphCache.getOrElseUpdate((s, d),
       LinkGraph.fromRawEdges(Queries.orderEventsForTest(s, d)))
+
+  /** Orders graph with explicit layers ("l" + ts % 3), memoized per
+    * (session, sfDir) like weightedGraph (fromRawEdges persists). */
+  private val layeredGraphCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LinkGraph]
+
+  private def layeredGraph(s: SparkSession, d: String): LinkGraph =
+    layeredGraphCache.getOrElseUpdate((s, d),
+      LinkGraph.fromRawEdges(Queries.orderEventsForTest(s, d)
+        .select(col("src"), col("dst"), col("ts"), col("seq"),
+          concat(lit("l"), col("ts") % 3).as("layer"))))
 
   /** IVF centroid matrix memoized per (session, sfDir): e_ann_ivf and
     * d_ivf_neardup share ONE training run, and the builder dumps the
@@ -281,6 +292,44 @@ object Queries2 {
       Pathing.deltaStepping(g, srcName, delta = 0.0, weightCol = Some("weight"),
         direction = "out")
         .select(col("vid").as("id"), round(col("dist"), 2).as("cost"))
+    }),
+    // ---- view algebra, driver-visible (window / materialize / layers /
+    // rolling rich-club — previously suite-only) -------------------------
+    // window view (db/api/view/time.rs:115): per-node degrees inside
+    // [lo + span/4, lo + span/2) — nodes induced by in-window endpoints
+    "g_window_degrees" -> ((s, d) => {
+      val g = graph(s, d)
+      val (lo, hi) = g.timeBounds.get
+      val w = g.window(lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+      w.outDegrees.withColumnRenamed("degree", "out_degree")
+        .join(w.inDegrees.withColumnRenamed("degree", "in_degree"), Seq("vid"))
+        .join(w.degrees, Seq("vid"))
+        .select(col("vid").as("id"), col("out_degree"), col("in_degree"), col("degree"))
+    }),
+    // materialize() of a window view (graph.rs:148-260): dense re-mint in
+    // view vid order, names preserved
+    "g_materialize" -> ((s, d) => {
+      val g = graph(s, d)
+      val (lo, hi) = g.timeBounds.get
+      g.window(lo + (hi - lo) / 4, lo + (hi - lo) / 2).materialize()
+        .nodes.select(col("vid"), col("name"))
+    }),
+    // layer view (db/api/view/layer.rs:12-37): layers keep the full node
+    // set and filter edge events; layer = "l" + (ts % 3)
+    "g_layer_view" -> ((s, d) => {
+      val g = layeredGraph(s, d)
+      val v = g.layers(Seq("l0", "l2"))
+      one(s, "n_nodes" -> lit(v.nodeCount), "n_edges" -> lit(v.edgeCount),
+        "n_events" -> lit(v.edges.count()))
+    }),
+    // temporal rich club (temporal_rich_club_coefficient.rs:39-97) over
+    // rolling(span/4, span/8) views, k=8, sliding window of 3 views
+    "g_rich_club" -> ((s, d) => {
+      val g = graph(s, d)
+      val (lo, hi) = g.timeBounds.get
+      val span = hi - lo
+      val v = RichClub.temporalRichClubRolling(g, span / 4, span / 8, k = 8, windowSize = 3)
+      one(s, "value" -> round(lit(v), 6))
     }),
     // exact seeded LPA (lpa.rs, ChaCha12 replay): labels are shuffle-order
     // dependent, so the oracle checks the dumped PARTITION's convergence
@@ -591,6 +640,69 @@ object Queries2 {
     "g_dijkstra" -> dijkstraSql,
     // delta-stepping settles the identical cost table
     "g_delta_sssp" -> dijkstraSql,
+    // window view degrees: same degree SQL as g_degrees over the
+    // [lo + span/4, lo + span/2) event slice (span = maxTs + 1 - minTs)
+    "g_window_degrees" ->
+      s"""WITH $sqlGraph,
+         |bounds AS (SELECT min(ts) AS lo, max(ts) + 1 AS hi FROM ev),
+         |win AS (SELECT lo + (hi - lo) // 4 AS t1, lo + (hi - lo) // 2 AS t2 FROM bounds),
+         |wev AS (SELECT e.* FROM ev e, win WHERE e.ts >= win.t1 AND e.ts < win.t2),
+         |wedges AS (SELECT DISTINCT src, dst FROM wev),
+         |wnodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM wedges
+         |           UNION ALL SELECT dst FROM wedges) t0),
+         |wund AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM wedges
+         |         UNION ALL SELECT dst AS a, src AS b FROM wedges) t1)
+         |SELECT n.id,
+         |  CAST(coalesce(o.c, 0) AS BIGINT) AS out_degree,
+         |  CAST(coalesce(i.c, 0) AS BIGINT) AS in_degree,
+         |  CAST(coalesce(u.c, 0) AS BIGINT) AS degree
+         |FROM wnodes n
+         |LEFT JOIN (SELECT src, count(*) AS c FROM wedges GROUP BY src) o ON o.src = n.id
+         |LEFT JOIN (SELECT dst, count(*) AS c FROM wedges GROUP BY dst) i ON i.dst = n.id
+         |LEFT JOIN (SELECT a, count(*) AS c FROM wund GROUP BY a) u ON u.a = n.id""".stripMargin,
+    // materialize(): dense vids in view vid order, names preserved
+    "g_materialize" ->
+      s"""WITH $sqlGraph,
+         |bounds AS (SELECT min(ts) AS lo, max(ts) + 1 AS hi FROM ev),
+         |win AS (SELECT lo + (hi - lo) // 4 AS t1, lo + (hi - lo) // 2 AS t2 FROM bounds),
+         |wev AS (SELECT e.* FROM ev e, win WHERE e.ts >= win.t1 AND e.ts < win.t2),
+         |wnodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM wev
+         |           UNION ALL SELECT dst FROM wev) t0)
+         |SELECT row_number() OVER (ORDER BY id) - 1 AS vid,
+         |       CAST(id AS VARCHAR) AS name FROM wnodes""".stripMargin,
+    // layer view: full node set, events/edges filtered to layers l0, l2
+    "g_layer_view" ->
+      s"""WITH $sqlGraph,
+         |kept AS (SELECT * FROM ev WHERE ts % 3 IN (0, 2))
+         |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+         |       (SELECT count(*) FROM (SELECT DISTINCT src, dst FROM kept) t) AS n_edges,
+         |       (SELECT count(*) FROM kept) AS n_events""".stripMargin,
+    // rolling temporal rich club: club = degree >= 8; per rolling view the
+    // club-internal canonical undirected edges; stable = present in all 3
+    // consecutive views; value = max over windows of |stable| / C(|club|,2)
+    "g_rich_club" ->
+      s"""WITH $sqlGraph,
+         |bounds AS (SELECT min(ts) AS lo, max(ts) + 1 AS hi FROM ev),
+         |par AS (SELECT lo, hi, (hi - lo) // 4 AS w, (hi - lo) // 8 AS st FROM bounds),
+         |deg AS (SELECT a AS id, count(*) AS c FROM und GROUP BY a),
+         |club AS (SELECT id FROM deg WHERE c >= 8),
+         |starts AS (SELECT unnest(generate_series((SELECT lo FROM par),
+         |           (SELECT hi FROM par), (SELECT st FROM par))) AS s),
+         |vidx AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS i FROM starts),
+         |ve AS (SELECT DISTINCT v.i, least(e.src, e.dst) AS a, greatest(e.src, e.dst) AS b
+         |       FROM vidx v JOIN ev e ON e.ts >= v.s AND e.ts < v.s + (SELECT w FROM par)
+         |       WHERE e.src <> e.dst AND e.src IN (SELECT id FROM club)
+         |         AND e.dst IN (SELECT id FROM club)),
+         |wins AS (SELECT i AS j FROM vidx WHERE i + 2 <= (SELECT max(i) FROM vidx)),
+         |stable AS (SELECT w.j, ve.a, ve.b FROM wins w
+         |           JOIN ve ON ve.i BETWEEN w.j AND w.j + 2
+         |           GROUP BY 1, 2, 3 HAVING count(DISTINCT ve.i) = 3),
+         |cnt AS (SELECT j, count(*) AS n FROM stable GROUP BY j),
+         |poss AS (SELECT count(*) * (count(*) - 1) / 2 AS p FROM club)
+         |SELECT round(CASE WHEN (SELECT count(*) FROM club) <= 1
+         |                    OR (SELECT count(*) FROM wins) = 0 THEN 0.0
+         |  ELSE CAST(coalesce((SELECT max(n) FROM cnt), 0) AS DOUBLE) / (SELECT p FROM poss)
+         |  END, 6) AS value""".stripMargin,
     // exact-LPA partition consistency over the aux dump: every node's
     // label must be the argmax neighbour label with (count, numeric GID)
     // tie-break — Lpa.runExact's converged update rule — plus the global

@@ -237,6 +237,19 @@ object Queries2 {
       graft.cypher.Cypher.run(graph(s, d),
         "MATCH (a)-[e]->(b) WITH a, count(*) AS d WHERE d >= 2 " +
           "MATCH (x)-[f]->(a) RETURN a.id AS id, d, count(*) AS n_in")),
+    // OPTIONAL MATCH: every node keeps a row; unmatched out-patterns
+    // count 0 through the NULL-skipping aggregate
+    "cy_optional" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a) OPTIONAL MATCH (a)-[e]->(b) RETURN a.id AS id, count(e.ts) AS n_out")),
+    // UNION dedups across overlapping branches (early events + self-loops)
+    "cy_union" -> ((s, d) => {
+      val g = graph(s, d)
+      val t = g.timeBounds.get._2 / 2
+      graft.cypher.Cypher.run(g,
+        s"MATCH ()-[e]->() WHERE e.ts < $t RETURN e.src AS s, e.dst AS d " +
+          "UNION MATCH ()-[f]->(b) WHERE f.src = f.dst RETURN f.src AS s, f.dst AS d")
+    }),
     // temporal node property histories: latest value per node at the
     // half-span timestamp via propertyAt (one hash aggregate) over a
     // (vid, prop, ts, value) event log derived from orders
@@ -563,6 +576,15 @@ object Queries2 {
          |SELECT o.id, o.d, CAST(count(*) AS BIGINT) AS n_in
          |FROM outs o JOIN ev f ON f.dst = o.id
          |GROUP BY o.id, o.d""".stripMargin,
+    "cy_optional" ->
+      s"""WITH $sqlGraph
+         |SELECT n.id, CAST(count(e.src) AS BIGINT) AS n_out
+         |FROM nodes n LEFT JOIN ev e ON e.src = n.id GROUP BY n.id""".stripMargin,
+    "cy_union" ->
+      s"""WITH $sqlGraph,
+         |tt AS (SELECT (max(ts) + 1) // 2 AS t FROM ev)
+         |SELECT DISTINCT src AS s, dst AS d FROM ev, tt
+         |WHERE ts < tt.t OR src = dst""".stripMargin,
     // latest-at-t per node over the property event log: arg_max by ts
     // (event times are unique: ts = o_orderkey), t = half the max ts
     "g_node_prop_at" ->

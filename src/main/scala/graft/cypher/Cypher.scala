@@ -27,6 +27,12 @@ import graft.graph.LinkGraph
   *    cypher.pest:26-55 MultiPartQuery/Unwind — the reference parses
   *    these but its transpiler `unimplemented!`s most arms,
   *    transpiler/mod.rs:602-1151; we execute them);
+  *  - OPTIONAL MATCH (pattern/WHERE constraints filter the optional
+  *    side, then a LEFT join on the shared node variables; unmatched
+  *    rows keep NULL bindings) — must share a variable with the
+  *    preceding scope;
+  *  - UNION / UNION ALL across full queries (same output columns
+  *    required; mixing UNION and UNION ALL rejected, as openCypher does);
   *  - edge labels = layer filters, node labels = node_type filters
   *    (the reference binds edge labels to layer tables,
   *    lib.rs:383-401, parser/mod.rs:1473);
@@ -80,7 +86,8 @@ object Cypher {
 
   /** One reading clause of a (possibly multi-part) query. */
   sealed trait Part
-  case class MatchPart(chains: Seq[Chain], where: Option[Expr]) extends Part
+  case class MatchPart(chains: Seq[Chain], where: Option[Expr],
+                       optional: Boolean = false) extends Part
   case class WithPart(distinct: Boolean, items: Seq[RetItem],
                       orderBy: Seq[(Expr, Boolean)], limit: Option[Long],
                       where: Option[Expr]) extends Part
@@ -325,12 +332,14 @@ object Cypher {
       val parts = Seq.newBuilder[Part]
       var sawReturn = false
       while (!sawReturn) {
-        if (kw("MATCH")) {
+        val optional = kw("OPTIONAL")
+        if (optional) expectKw("MATCH")
+        if (optional || kw("MATCH")) {
           val chains = Seq.newBuilder[Chain]
           chains += chain()
           while (punct(",")) chains += chain()
           val where = if (kw("WHERE")) Some(expr()) else None
-          parts += MatchPart(chains.result(), where)
+          parts += MatchPart(chains.result(), where, optional)
         } else if (kw("UNWIND")) {
           val list = operand()
           expectKw("AS")
@@ -356,16 +365,46 @@ object Cypher {
       else items ++= retItems()
       val order = orderByOpt()
       val limit = limitOpt()
-      require(pos == toks.length, s"trailing tokens from $pos: ${toks.drop(pos)}")
       Query(parts.result(), distinct, returnAll, items.result(), order, limit)
+    }
+
+    /** Top level: query [UNION [ALL] query]...; returns the branches and
+      * whether they combine with ALL (openCypher rejects mixing UNION and
+      * UNION ALL in one query, and so do we). */
+    def queryList(): (Seq[Query], Boolean) = {
+      val qs = Seq.newBuilder[Query]
+      qs += query()
+      var all = Option.empty[Boolean]
+      while (kw("UNION")) {
+        val a = kw("ALL")
+        require(all.forall(_ == a), "invalid combination of UNION and UNION ALL")
+        all = Some(a)
+        qs += query()
+      }
+      require(pos == toks.length, s"trailing tokens from $pos: ${toks.drop(pos)}")
+      (qs.result(), all.getOrElse(false))
     }
   }
 
-  def parse(text: String): Query = new Parser(tokenize(text)).query()
+  def parse(text: String): Query = {
+    val (qs, _) = new Parser(tokenize(text)).queryList()
+    require(qs.length == 1, "parse() is single-query; use run() for UNION queries")
+    qs.head
+  }
 
   // ---------- planner: Query -> DataFrame ----------
 
-  def run(g: LinkGraph, text: String): DataFrame = plan(g, parse(text))
+  def run(g: LinkGraph, text: String): DataFrame = {
+    val (qs, all) = new Parser(tokenize(text)).queryList()
+    val frames = qs.map(plan(g, _))
+    val combined = frames.reduce { (a, b) =>
+      require(a.columns.toSeq == b.columns.toSeq,
+        s"UNION branches must return the same columns " +
+          s"(${a.columns.mkString(",")} vs ${b.columns.mkString(",")})")
+      a.unionByName(b)
+    }
+    if (qs.length > 1 && !all) combined.dropDuplicates() else combined
+  }
 
   def plan(g: LinkGraph, q: Query): DataFrame = {
     var fresh = 0
@@ -682,7 +721,43 @@ object Cypher {
       valueVars(part.alias) = part.alias
     }
 
+    /** OPTIONAL MATCH: the pattern is planned as its own sub-frame (own
+      * bindings, labels/property-map/WHERE constraints applied to the
+      * OPTIONAL side — openCypher's pre-join filter semantics), then
+      * LEFT-joined onto the current scope on the shared node variables.
+      * Rows of the current scope with no match keep NULLs in the new
+      * bindings. Leading or disconnected OPTIONAL MATCH (no shared
+      * variable) is rejected — it would need a null-row fallback the
+      * reference never executes either. */
+    def planOptionalMatch(part: MatchPart): Unit = {
+      require(acc != null,
+        "OPTIONAL MATCH requires a preceding MATCH/UNWIND binding")
+      val outerAcc = acc
+      val outerBound = bound.toMap
+      val outerNodeJoined = nodeJoined.toSet
+      acc = null
+      bound.clear()
+      nodeJoined.clear()
+      planMatch(part.copy(optional = false))
+      val sub = acc
+      val subBound = bound.toMap
+      val subNodeJoined = nodeJoined.toSet
+      val shared = outerBound.keySet.intersect(subBound.keySet)
+      require(shared.nonEmpty,
+        "OPTIONAL MATCH must share at least one node variable with the preceding scope")
+      val conds = shared.toSeq.map(v => col(outerBound(v)) === col(subBound(v)))
+      acc = outerAcc.join(sub, conds.reduce(_ && _), "left")
+      // outer bindings win for shared vars; sub-only bindings merge in.
+      // A shared var's node-table columns from the sub side are NULL on
+      // unmatched rows, so only sub-EXCLUSIVE vars keep their joined mark.
+      bound.clear(); bound ++= outerBound
+      subBound.foreach { case (v, c) => if (!bound.contains(v)) bound(v) = c }
+      nodeJoined.clear(); nodeJoined ++= outerNodeJoined
+      nodeJoined ++= subNodeJoined.diff(shared)
+    }
+
     q.parts.foreach {
+      case p: MatchPart if p.optional => planOptionalMatch(p)
       case p: MatchPart => planMatch(p)
       case p: WithPart => planWith(p)
       case p: UnwindPart => planUnwind(p)

@@ -332,4 +332,57 @@ class CypherSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).sorted)).toMap
     assert(got(0L) == Seq(1L, 3L) && got(2L) == Seq(4L, 6L))
   }
+
+  test("OPTIONAL MATCH keeps unmatched rows with NULL bindings") {
+    val rows = Cypher.run(g,
+      "MATCH (a) OPTIONAL MATCH (a)-[e:b]->(c) RETURN a.id AS id, count(e.ts) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // layer-b edges leave only nodes 0 and 2; 1 and 3 keep NULL e bindings
+    assert(rows == Map(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("OPTIONAL MATCH WHERE filters the optional side, not the outer rows") {
+    val rows = Cypher.run(g,
+      "MATCH (a) OPTIONAL MATCH (a)-[e]->(c) WHERE e.weight >= 4 " +
+        "RETURN a.id AS id, count(e.ts) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weight >= 4: 0->2 (5.0), 2->0 (6.0), 3->0 (4.0); node 1 stays, n=0
+    assert(rows == Map(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("OPTIONAL MATCH chains off a bound MATCH variable") {
+    val rows = Cypher.run(g,
+      "MATCH (a)-[e:b]->(b) OPTIONAL MATCH (b)-[f:b]->(c) " +
+        "RETURN a.id AS a, b.id AS b, count(f.ts) AS n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (0)-[b]->(2)-[b]->(3): continuation exists; (2)-[b]->(3) has none
+    assert(rows == Map((0L, 2L) -> 1L, (2L, 3L) -> 0L))
+  }
+
+  test("leading / disconnected OPTIONAL MATCH is rejected") {
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "OPTIONAL MATCH (a)-[e]->(b) RETURN a.id AS id")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a) OPTIONAL MATCH (x)-[e]->(y) RETURN a.id AS id")
+    }
+  }
+
+  test("UNION dedups across branches; UNION ALL keeps duplicates") {
+    val base = "MATCH ()-[e:a]->() RETURN e.src AS s, e.dst AS t"
+    val other = "MATCH ()-[e]->() WHERE e.weight > 3 RETURN e.src AS s, e.dst AS t"
+    // layer a: (0,1),(1,2),(3,0),(2,0); weight>3: (0,2),(2,0),(3,0)
+    assert(Cypher.run(g, s"$base UNION $other").count() == 5)
+    assert(Cypher.run(g, s"$base UNION ALL $other").count() == 7)
+  }
+
+  test("UNION with mismatched columns or mixed ALL is rejected") {
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH ()-[e]->() RETURN e.src AS s UNION MATCH ()-[e]->() RETURN e.dst AS t")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH ()-[e]->() RETURN e.src AS s UNION MATCH ()-[e]->() RETURN e.src AS s " +
+        "UNION ALL MATCH ()-[e]->() RETURN e.src AS s")
+    }
+  }
 }

@@ -67,6 +67,27 @@ object Queries2 {
     weightedGraphCache.getOrElseUpdate((s, d),
       LinkGraph.fromRawEdges(Queries.orderEventsForTest(s, d)))
 
+  /** Vectorised orders graph (RAG surface) memoized per (session, sfDir);
+    * the builder dumps the document table so both vector oracles replay
+    * cosine ranking over the exact same embedding doubles (the hashing
+    * embedder is Spark-side murmur3 — not SQL-recomputable, so the dump is
+    * the oracle contract, like the IVF centroids). */
+  private val vecCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.vectors.Vectors.VectorisedGraph]
+
+  private def vecGraph(s: SparkSession, d: String): graft.vectors.Vectors.VectorisedGraph =
+    vecCache.getOrElseUpdate((s, d), {
+      val v = graft.vectors.Vectors.vectorise(graph(s, d),
+        graft.vectors.Vectors.DocumentTemplate(
+          node = Some("node {name}"),
+          edge = Some("link {src_name} to {dst_name} weight {n_events}")))
+      if (Verify.isVerifyRun) // Bench at another sfDir must not clobber the dump
+        v.documents.select("kind", "vid", "src", "dst", "content", "ts", "embedding")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${Verify.AuxDir}/vec_docs.parquet")
+      v
+    })
+
   /** Orders graph with explicit layers ("l" + ts % 3), memoized per
     * (session, sfDir) like weightedGraph (fromRawEdges persists). */
   private val layeredGraphCache =
@@ -305,6 +326,26 @@ object Queries2 {
       Pathing.deltaStepping(g, srcName, delta = 0.0, weightCol = Some("weight"),
         direction = "out")
         .select(col("vid").as("id"), round(col("dist"), 2).as("cost"))
+    }),
+    // ---- RAG vector store (raphtory/src/vectors analogue) ---------------
+    // entity similarity search: query = the min-vid node's own document
+    // embedding; top 10 nodes by codegen cosine, ties by vid
+    "v_node_search" -> ((s, d) => {
+      val v = vecGraph(s, d)
+      val q = v.documents.filter(col("kind") === "node")
+        .orderBy(col("vid")).select("embedding").head().getSeq[Double](0).toArray
+      v.nodesBySimilarity(q, 10)
+        .select(col("rank"), col("vid").as("id"), round(col("score"), 6).as("score"))
+    }),
+    // selection expansion: seed = min-vid node, query = max-vid node's
+    // document; one score-ranked hop adds its top-5 unselected neighbours
+    "v_expand" -> ((s, d) => {
+      val v = vecGraph(s, d)
+      val docs = v.documents.filter(col("kind") === "node")
+      val q = docs.orderBy(desc("vid")).select("embedding").head().getSeq[Double](0).toArray
+      val seed = docs.agg(min(col("vid"))).select(col("min(vid)").as("vid"))
+      v.expandNodesBySimilarity(seed, q, limit = 5)
+        .select(col("vid").as("id")).orderBy("id")
     }),
     // ---- view algebra, driver-visible (window / materialize / layers /
     // rolling rich-club — previously suite-only) -------------------------
@@ -662,6 +703,40 @@ object Queries2 {
     "g_dijkstra" -> dijkstraSql,
     // delta-stepping settles the identical cost table
     "g_delta_sssp" -> dijkstraSql,
+    // cosine ranking replayed over the aux-dumped document embeddings
+    // (same dot/norm op order as e_cosine_top5 — bit-stable vs codegen)
+    "v_node_search" ->
+      s"""WITH docs AS (SELECT vid, embedding
+         |              FROM read_parquet('${Verify.AuxDir}/vec_docs.parquet/*.parquet')
+         |              WHERE kind = 'node'),
+         |q AS (SELECT embedding AS qe FROM docs ORDER BY vid LIMIT 1),
+         |s AS (SELECT d.vid,
+         |        list_dot_product(d.embedding, q.qe) /
+         |        (sqrt(list_dot_product(d.embedding, d.embedding)) *
+         |         sqrt(list_dot_product(q.qe, q.qe))) AS sim
+         |      FROM docs d CROSS JOIN q),
+         |r AS (SELECT vid, sim, row_number() OVER (ORDER BY sim DESC, vid) AS rank FROM s)
+         |SELECT CAST(rank AS BIGINT) AS rank, vid AS id, round(sim, 6) AS score
+         |FROM r WHERE rank <= 10""".stripMargin,
+    // one expansion hop: seed's undirected neighbours ranked by cosine
+    // against the max-vid node's document; top 5 join the selection
+    "v_expand" ->
+      s"""WITH $sqlGraph,
+         |docs AS (SELECT vid, embedding
+         |         FROM read_parquet('${Verify.AuxDir}/vec_docs.parquet/*.parquet')
+         |         WHERE kind = 'node'),
+         |seed AS (SELECT min(vid) AS v FROM docs),
+         |q AS (SELECT embedding AS qe FROM docs ORDER BY vid DESC LIMIT 1),
+         |nbrs AS (SELECT DISTINCT u.b AS vid FROM und u CROSS JOIN seed
+         |         WHERE u.a = seed.v AND u.b <> seed.v),
+         |s AS (SELECT n.vid,
+         |        list_dot_product(d.embedding, q.qe) /
+         |        (sqrt(list_dot_product(d.embedding, d.embedding)) *
+         |         sqrt(list_dot_product(q.qe, q.qe))) AS sim
+         |      FROM nbrs n JOIN docs d ON d.vid = n.vid CROSS JOIN q),
+         |r AS (SELECT vid, row_number() OVER (ORDER BY sim DESC, vid) AS rank FROM s)
+         |SELECT vid AS id FROM (SELECT v AS vid FROM seed
+         |  UNION ALL SELECT vid FROM r WHERE rank <= 5) t""".stripMargin,
     // window view degrees: same degree SQL as g_degrees over the
     // [lo + span/4, lo + span/2) event slice (span = maxTs + 1 - minTs)
     "g_window_degrees" ->

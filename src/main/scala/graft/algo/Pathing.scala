@@ -202,18 +202,6 @@ object Pathing {
     light.count()
     edges.unpersist()
 
-    val inf = lit(Double.MaxValue)
-    // improvements-only merge of relaxation candidates into (vid, dist)
-    def relax(frontier: DataFrame, e: DataFrame, state: DataFrame): DataFrame = {
-      val cand = frontier.hint("shuffle_hash").join(e, frontier("vid") === e("src"))
-        .select(e("dst").as("vid"), (frontier("dist") + e("w")).as("nd"))
-        .groupBy($"vid").agg(min($"nd").as("nd"))
-      state.join(cand, Seq("vid"), "full")
-        .select($"vid",
-          least(coalesce($"dist", inf), coalesce($"nd", inf)).as("dist"),
-          (coalesce($"nd", inf) < coalesce($"dist", inf)).as("improved"))
-    }
-
     var state = g.nodes.filter($"name" === source)
       .select($"vid", lit(0.0).as("dist")).localCheckpoint(false)
     var bucket = if (state.count() == 0) -1L else 0L
@@ -230,7 +218,7 @@ object Pathing {
       var frontier = state.filter($"dist" >= lo && $"dist" < hi).localCheckpoint(false)
       var fCount = frontier.count()
       while (fCount > 0) {
-        val merged = relax(frontier, light, state).localCheckpoint(false)
+        val merged = deltaRelax(frontier, light, state).localCheckpoint(false)
         frontier = merged.filter($"improved" && $"dist" < hi)
           .select($"vid", $"dist").localCheckpoint(false)
         fCount = frontier.count() // one job: materialises merged + frontier
@@ -240,7 +228,7 @@ object Pathing {
       // non-empty bucket (one agg job also materialises the heavy merge)
       if (heavyCount > 0) {
         val bNodes = state.filter($"dist" >= lo && $"dist" < hi)
-        state = relax(bNodes, heavy, state).select($"vid", $"dist").localCheckpoint(false)
+        state = deltaRelax(bNodes, heavy, state).select($"vid", $"dist").localCheckpoint(false)
       }
       val nextRow = state.agg(min(when($"dist" >= hi, floor($"dist" / d0).cast("long")))).head()
       // max(_, bucket+1): dist/d0 can round down across the hi boundary
@@ -249,6 +237,24 @@ object Pathing {
     light.unpersist(); heavy.unpersist()
     state.join(g.nodes, Seq("vid")).select($"vid", $"name", $"dist")
     }
+  }
+
+  /** One delta-stepping relaxation: the frontier's (dist + w) candidates
+    * hash-aggregated per target, full-joined into (vid, dist, improved)
+    * keeping improvements only. The frontier/state sides are
+    * post-checkpoint (unknown stats) — shuffle_hash keeps the persisted
+    * src-partitioned edge table's layout reusable instead of an SMJ
+    * re-sort per relaxation (PlanSpec-locked: no SortExec, SHJ). */
+  private[graft] def deltaRelax(frontier: DataFrame, e: DataFrame,
+                                state: DataFrame): DataFrame = {
+    val inf = lit(Double.MaxValue)
+    val cand = frontier.hint("shuffle_hash").join(e, frontier("vid") === e("src"))
+      .select(e("dst").as("vid"), (frontier("dist") + e("w")).as("nd"))
+      .groupBy(col("vid")).agg(min(col("nd")).as("nd"))
+    state.hint("shuffle_hash").join(cand, Seq("vid"), "full")
+      .select(col("vid"),
+        least(coalesce(col("dist"), inf), coalesce(col("nd"), inf)).as("dist"),
+        (coalesce(col("nd"), inf) < coalesce(col("dist"), inf)).as("improved"))
   }
 
   /** Returns (vid, name, history) where history is the sorted array of

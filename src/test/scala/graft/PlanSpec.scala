@@ -120,6 +120,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("delta-stepping relaxation: SHJ against the cached edge table, no sort, no window") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    withoutAutoBroadcast {
+      graft.bsp.IterativeConf.withStablePartitioning(spark) {
+        val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val n = 50000L
+        val edges0 = spark.range(0, n, 1, 4).flatMap { i =>
+          graft.io.Corpus.linkTargets(i, 8, 13L).map(j => (i, j))
+        }.toDF("src", "dst")
+        val light = edges0.withColumn("w", (col("src") % 7 + 1).cast("double"))
+          .repartition(p, $"src").persist()
+        light.count()
+        val state = spark.range(0, 100).select($"id".as("vid"), lit(0.0).as("dist"))
+          .localCheckpoint(true)
+        val step = graft.algo.Pathing.deltaRelax(state, light, state)
+        val exec = step.queryExecution.executedPlan
+        val s = exec.toString
+        assert(exec.collect { case x: SortExec => x }.isEmpty,
+          s"per-relaxation sort in delta-stepping:\n$s")
+        assert(exec.collect { case x: WindowExec => x }.isEmpty,
+          s"window in delta-stepping relaxation:\n$s")
+        assert(exec.collect { case x: ShuffledHashJoinExec => x }.nonEmpty,
+          s"delta-stepping frontier join is not SHJ:\n$s")
+        light.unpersist()
+      }
+    }
+  }
+
   test("parquet scan: filters push down and columns prune to the projection") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 10).select("doc_id", "text")

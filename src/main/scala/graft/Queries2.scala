@@ -327,6 +327,12 @@ object Queries2 {
         direction = "out")
         .select(col("vid").as("id"), round(col("dist"), 2).as("cost"))
     }),
+    // all-nodes out-components (in_components.rs:36-105, driver-bounded
+    // like the reference): per node the descendant-set SIZE (the members
+    // array itself has no hashable driver encoding)
+    "g_out_components" -> ((s, d) =>
+      Components.allComponents(graph(s, d), dir = "out")
+        .select(col("vid").as("id"), size(col("members")).cast("long").as("n_desc"))),
     // ---- RAG vector store (raphtory/src/vectors analogue) ---------------
     // entity similarity search: query = the min-vid node's own document
     // embedding; top 10 nodes by codegen cosine, ties by vid
@@ -703,6 +709,17 @@ object Queries2 {
     "g_dijkstra" -> dijkstraSql,
     // delta-stepping settles the identical cost table
     "g_delta_sssp" -> dijkstraSql,
+    // transitive closure sizes per node (descendants over directed edges)
+    "g_out_components" ->
+      s"""WITH RECURSIVE $sqlGraph,
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+         |),
+         |cnt AS (SELECT a, count(DISTINCT b) AS n FROM reach GROUP BY a)
+         |SELECT nd.id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_desc
+         |FROM nodes nd LEFT JOIN cnt c ON c.a = nd.id""".stripMargin,
     // cosine ranking replayed over the aux-dumped document embeddings
     // (same dot/norm op order as e_cosine_top5 — bit-stable vs codegen)
     "v_node_search" ->

@@ -333,6 +333,39 @@ object Queries2 {
     "g_out_components" -> ((s, d) =>
       Components.allComponents(graph(s, d), dir = "out")
         .select(col("vid").as("id"), size(col("members")).cast("long").as("n_desc"))),
+    // PersistentGraph deletion view (deletion_graph.rs:38-120), driver-
+    // visible: deterministic deletion events over the orders pairs — adds
+    // at even ts (2*o_orderkey, kept orders), lifetime deletes at odd ts
+    // for every third kept order, and PURE deletions with no prior add
+    // (the reference's only-deleted "alive since -inf" rule) from the
+    // dropped-order set; snapshot at the midpoint of the add timeline,
+    // distinct-neighbour degrees like g_window_degrees. Within one
+    // (src,dst) group every event carries a distinct ts (adds even, dels
+    // odd), so the (ts,seq) total order reduces to ts and the oracle can
+    // replay it with plain min/max aggregates.
+    "g_alive_at" -> ((s, d) => {
+      val orders = tbl(s, d, "orders")
+      val pair = Seq((col("o_orderkey") % 1009).as("src"),
+        ((col("o_orderkey") * 31 + col("o_custkey")) % 1009).as("dst"))
+      val kept = orders.filter(col("o_orderkey") % 7 < 3)
+      val adds = kept.select(pair ++ Seq((col("o_orderkey") * 2).as("ts"),
+        col("o_orderkey").as("seq"), lit(0).as("op")): _*)
+      val lifeDels = kept.filter(col("o_orderkey") % 3 === 0)
+        .select(pair ++ Seq(((col("o_orderkey") + 1000) * 2 + 1).as("ts"),
+          (col("o_orderkey") + 10000000L).as("seq"), lit(1).as("op")): _*)
+      val pureDels = orders.filter(col("o_orderkey") % 7 === 3)
+        .select(pair ++ Seq((col("o_orderkey") * 2 + 1).as("ts"),
+          (col("o_orderkey") + 20000000L).as("seq"), lit(1).as("op")): _*)
+      val pg = graft.graph.PersistentGraph.fromEvents(
+        adds.unionByName(lifeDels).unionByName(pureDels))
+      val bounds = adds.agg(min(col("ts")), max(col("ts"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val snap = pg.at(lo + (hi - lo) / 2)
+      snap.outDegrees.withColumnRenamed("degree", "out_degree")
+        .join(snap.inDegrees.withColumnRenamed("degree", "in_degree"), Seq("vid"))
+        .join(snap.degrees, Seq("vid"))
+        .select(col("vid").as("id"), col("out_degree"), col("in_degree"), col("degree"))
+    }),
     // ---- RAG vector store (raphtory/src/vectors analogue) ---------------
     // entity similarity search: query = the min-vid node's own document
     // embedding; top 10 nodes by codegen cosine, ties by vid
@@ -720,6 +753,57 @@ object Queries2 {
          |cnt AS (SELECT a, count(DISTINCT b) AS n FROM reach GROUP BY a)
          |SELECT nd.id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_desc
          |FROM nodes nd LEFT JOIN cnt c ON c.a = nd.id""".stripMargin,
+    // PersistentGraph alive-at replay: every event in a (src,dst) group has
+    // a distinct ts (adds even, deletes odd), so the (ts,seq) order reduces
+    // to ts and the alive predicate is exactly PersistentGraph.window's:
+    //   alive_before(t) = only_deleted || last add before t > last del before t
+    //   only_deleted    = first event is a delete that has not happened by t
+    //   at(t)           = alive_before && first event AT t isn't a delete,
+    //                     OR an add lands at exactly t
+    "g_alive_at" ->
+      """WITH pe AS (
+        |  SELECT o_orderkey % 1009 AS src, (o_orderkey * 31 + o_custkey) % 1009 AS dst,
+        |         o_orderkey * 2 AS ts, 0 AS op
+        |  FROM orders WHERE o_orderkey % 7 < 3
+        |  UNION ALL
+        |  SELECT o_orderkey % 1009, (o_orderkey * 31 + o_custkey) % 1009,
+        |         (o_orderkey + 1000) * 2 + 1, 1
+        |  FROM orders WHERE o_orderkey % 7 < 3 AND o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey % 1009, (o_orderkey * 31 + o_custkey) % 1009,
+        |         o_orderkey * 2 + 1, 1
+        |  FROM orders WHERE o_orderkey % 7 = 3),
+        |tb AS (SELECT min(ts) AS lo, max(ts) AS hi FROM pe WHERE op = 0),
+        |tt AS (SELECT lo + (hi - lo) // 2 AS t FROM tb),
+        |agg AS (
+        |  SELECT src, dst,
+        |    min(CASE WHEN op = 0 THEN ts END) AS first_add,
+        |    min(CASE WHEN op = 1 THEN ts END) AS first_del,
+        |    max(CASE WHEN op = 0 AND ts < t THEN ts END) AS last_add_before,
+        |    max(CASE WHEN op = 1 AND ts < t THEN ts END) AS last_del_before,
+        |    min(CASE WHEN op = 0 AND ts = t THEN ts END) AS add_at,
+        |    min(CASE WHEN op = 1 AND ts = t THEN ts END) AS del_at
+        |  FROM pe, tt GROUP BY src, dst),
+        |present AS (
+        |  SELECT src, dst FROM agg, tt
+        |  WHERE (NOT (del_at IS NOT NULL AND (add_at IS NULL OR del_at < add_at))
+        |         AND ((last_add_before IS NOT NULL AND
+        |               (last_del_before IS NULL OR last_add_before > last_del_before))
+        |           OR ((first_add IS NULL OR first_del < first_add)
+        |               AND first_del IS NOT NULL AND first_del >= t)))
+        |     OR add_at IS NOT NULL),
+        |pnodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM present
+        |           UNION ALL SELECT dst FROM present) t0),
+        |pund AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM present
+        |         UNION ALL SELECT dst AS a, src AS b FROM present) t1)
+        |SELECT n.id,
+        |  CAST(coalesce(o.c, 0) AS BIGINT) AS out_degree,
+        |  CAST(coalesce(i.c, 0) AS BIGINT) AS in_degree,
+        |  CAST(coalesce(u.c, 0) AS BIGINT) AS degree
+        |FROM pnodes n
+        |LEFT JOIN (SELECT src, count(*) AS c FROM present GROUP BY src) o ON o.src = n.id
+        |LEFT JOIN (SELECT dst, count(*) AS c FROM present GROUP BY dst) i ON i.dst = n.id
+        |LEFT JOIN (SELECT a, count(*) AS c FROM pund GROUP BY a) u ON u.a = n.id""".stripMargin,
     // cosine ranking replayed over the aux-dumped document embeddings
     // (same dot/norm op order as e_cosine_top5 — bit-stable vs codegen)
     "v_node_search" ->

@@ -271,6 +271,14 @@ object Queries2 {
         s"MATCH ()-[e]->() WHERE e.ts < $t RETURN e.src AS s, e.dst AS d " +
           "UNION MATCH ()-[f]->(b) WHERE f.src = f.dst RETURN f.src AS s, f.dst AS d")
     }),
+    // variable-length paths (openCypher RangeLiteral — the reference
+    // parses it, cypher.pest:203, but never executes it): per (start,end)
+    // pair the number of 1..2-hop event paths from low-id sources, with
+    // within-path relationship uniqueness
+    "cy_varlen" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[p*1..2]->(b) WHERE a.id < 50 " +
+          "RETURN a.id AS src_id, b.id AS dst_id, count(*) AS n_paths")),
     // temporal node property histories: latest value per node at the
     // half-span timestamp via propertyAt (one hash aggregate) over a
     // (vid, prop, ts, value) event log derived from orders
@@ -665,6 +673,18 @@ object Queries2 {
          |tt AS (SELECT (max(ts) + 1) // 2 AS t FROM ev)
          |SELECT DISTINCT src AS s, dst AS d FROM ev, tt
          |WHERE ts < tt.t OR src = dst""".stripMargin,
+    // 1-hop events + 2-hop event chains (distinct events: ts = seq =
+    // o_orderkey identifies the event) grouped by path endpoints
+    "cy_varlen" ->
+      s"""WITH $sqlGraph,
+         |p1 AS (SELECT src AS a, dst AS b FROM ev WHERE src < 50),
+         |p2 AS (SELECT e1.src AS a, e2.dst AS b FROM ev e1 JOIN ev e2
+         |       ON e2.src = e1.dst AND NOT (e1.src = e2.src AND e1.dst = e2.dst
+         |          AND e1.ts = e2.ts AND e1.seq = e2.seq)
+         |       WHERE e1.src < 50),
+         |allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         |SELECT a AS src_id, b AS dst_id, CAST(count(*) AS BIGINT) AS n_paths
+         |FROM allp GROUP BY a, b""".stripMargin,
     // latest-at-t per node over the property event log: arg_max by ts
     // (event times are unique: ts = o_orderkey), t = half the max ts
     "g_node_prop_at" ->

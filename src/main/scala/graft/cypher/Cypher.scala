@@ -21,6 +21,15 @@ import graft.graph.LinkGraph
   *    the same pairwise unique_edge_filter predicates,
   *    transpiler/mod.rs:620-646); reusing an edge variable across
   *    patterns is rejected like Cypher does;
+  *  - variable-length relationships `-[e*m..n]->` (also `*n`, `*..n`,
+  *    any direction incl. undirected): one row per distinct path,
+  *    relationship uniqueness enforced WITHIN each path, hop count via
+  *    length(e)/size(e). The reference grammar parses RangeLiteral
+  *    (cypher.pest:203) but its transpiler never executes it; we require
+  *    a finite upper bound n <= 8 (unbounded closure belongs to
+  *    Components.reach). Limitation: a var-length path's internal events
+  *    are NOT uniqueness-checked against OTHER edge variables of the
+  *    same MATCH — only single-edge variables cross-check pairwise;
   *  - multi-part queries: WITH [DISTINCT] items [ORDER BY] [LIMIT]
   *    [WHERE] chaining into further MATCH/UNWIND parts, and
   *    UNWIND <list> AS x (grammar raphtory-cypher/src/parser/
@@ -79,7 +88,11 @@ object Cypher {
     * both orientations (two rows, standard Cypher semantics); `e.src`/
     * `e.dst` keep the STORAGE endpoints, only the pattern-endpoint
     * binding flips (reference RelPattern::undirected). */
+  /** range = variable-length `*m..n` (openCypher RangeLiteral — the
+    * reference grammar parses it, cypher.pest:203, but its transpiler
+    * never executes it; we do, with a required finite upper bound). */
   case class EdgePat(v: Option[String], label: Option[String], props: Map[String, Lit],
+                     range: Option[(Long, Option[Long])],
                      leftToRight: Boolean, undirected: Boolean = false)
   case class Chain(first: NodePat, hops: Seq[(EdgePat, NodePat)])
   case class RetItem(expr: Expr, alias: Option[String])
@@ -198,24 +211,51 @@ object Cypher {
       NodePat(v, label, props)
     }
 
-    /** `-[e:L {..}]->`, `-[e:L {..}]-` (undirected) or `<-[e:L {..}]-` */
+    /** openCypher RangeLiteral after the type: `*`, `*n`, `*m..n`, `*..n`,
+      * `*m..`. The tokenizer folds digits and dots into one TNum, so
+      * `1..3` arrives as TNum("1..3") and `..3` as two '.' puncts. */
+    private def rangeOpt(): Option[(Long, Option[Long])] = {
+      if (!punct("*")) return None
+      peek match {
+        case Some(TNum(s)) if s.contains("..") =>
+          pos += 1
+          val parts = s.split("\\.\\.", -1)
+          require(parts.length == 2 && parts(0).nonEmpty, s"malformed range *$s")
+          Some((parts(0).toLong, if (parts(1).isEmpty) None else Some(parts(1).toLong)))
+        case Some(TNum(s)) =>
+          pos += 1
+          require(!s.contains('.'), s"malformed range *$s")
+          Some((s.toLong, Some(s.toLong)))
+        case Some(TPunct(".")) =>
+          pos += 1; expectPunct(".")
+          next() match {
+            case TNum(n) => Some((1L, Some(n.toLong)))
+            case t => throw new IllegalArgumentException(s"expected upper bound after *.., got $t")
+          }
+        case _ => Some((1L, None))
+      }
+    }
+
+    /** `-[e:L*m..n {..}]->`, `-[e:L {..}]-` (undirected) or `<-[e:L {..}]-` */
     private def edgePat(): Option[EdgePat] = {
       if (punct("-")) {
         expectPunct("[")
         val v = peek match { case Some(TIdent(s)) => pos += 1; Some(s); case _ => None }
         val label = if (punct(":")) Some(ident()) else None
+        val range = rangeOpt()
         val props = propMap()
         expectPunct("]")
-        if (punct("->")) Some(EdgePat(v, label, props, leftToRight = true))
-        else { expectPunct("-"); Some(EdgePat(v, label, props, leftToRight = true, undirected = true)) }
+        if (punct("->")) Some(EdgePat(v, label, props, range, leftToRight = true))
+        else { expectPunct("-"); Some(EdgePat(v, label, props, range, leftToRight = true, undirected = true)) }
       } else if (punct("<-")) {
         expectPunct("[")
         val v = peek match { case Some(TIdent(s)) => pos += 1; Some(s); case _ => None }
         val label = if (punct(":")) Some(ident()) else None
+        val range = rangeOpt()
         val props = propMap()
         expectPunct("]")
         expectPunct("-")
-        Some(EdgePat(v, label, props, leftToRight = false))
+        Some(EdgePat(v, label, props, range, leftToRight = false))
       } else None
     }
 
@@ -416,6 +456,8 @@ object Cypher {
     val edgeVars = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     // WITH/UNWIND alias -> plain value column
     val valueVars = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // var-length edge var -> its hop-count column (read via length/size)
+    val varLenVars = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var acc: DataFrame = null
 
     def mergeOn(df: DataFrame, conds: Seq[Column]): Unit = {
@@ -447,6 +489,45 @@ object Cypher {
       } else renamed
     }
 
+    /** Variable-length relationship `-[e*m..n]->`: one frame with a row
+      * per distinct PATH of m..n hops — endpoint columns `<e>__a`/`<e>__b`
+      * and the hop count `<e>_len` (read with length(e)/size(e)).
+      * openCypher relationship uniqueness holds WITHIN each path: every
+      * hop join rejects events already on the path via the accumulated
+      * event-id list (k ≤ 8 keeps the id array and join chain small).
+      * Built as a union over k of k-hop equi-join chains — each branch is
+      * a plain shuffled-join plan Catalyst handles like any other join,
+      * so the operator scales exactly as k fixed-length joins do. */
+    def pathFrame(ev: String, pat: EdgePat, lo: Int, hi: Int): DataFrame = {
+      var base = g.edges
+      pat.label.foreach(l => base = base.filter(col("layer") === l))
+      pat.props.foreach { case (k, Lit(v)) => base = base.filter(col(k) === lit(v)) }
+      val eid = struct(col("src"), col("dst"), col("ts"), col("seq"), col("layer"))
+      val fwd = base.select(col("src").as("a"), col("dst").as("b"), eid.as("eid"))
+      val hop =
+        if (pat.undirected)
+          // per-hop both orientations; self-loops once (as in edgeFrame)
+          fwd.unionByName(base.filter(col("src") =!= col("dst"))
+            .select(col("dst").as("a"), col("src").as("b"), eid.as("eid")))
+        else if (pat.leftToRight) fwd
+        else base.select(col("dst").as("a"), col("src").as("b"), eid.as("eid"))
+      var paths = hop.select(col("a"), col("b"), array(col("eid")).as("eids"))
+      def branch(k: Int, p: DataFrame): DataFrame =
+        p.select(col("a").as(s"${ev}__a"), col("b").as(s"${ev}__b"),
+          lit(k.toLong).as(s"${ev}_len"))
+      val branches = Seq.newBuilder[DataFrame]
+      if (lo <= 1) branches += branch(1, paths)
+      for (k <- 2 to hi) {
+        val h = hop.select(col("a").as("_ha"), col("b").as("_hb"), col("eid").as("_heid"))
+        paths = paths
+          .join(h, col("b") === col("_ha") && !array_contains(col("eids"), col("_heid")))
+          .select(col("a"), col("_hb").as("b"),
+            concat(col("eids"), array(col("_heid"))).as("eids"))
+        if (k >= lo) branches += branch(k, paths)
+      }
+      branches.result().reduce(_ unionByName _)
+    }
+
     // node label/prop constraints and name/prop references need the node
     // table joined on the var's vid column — done lazily, once per var
     // (reset at each WITH: the projection drops un-carried node columns)
@@ -468,6 +549,9 @@ object Cypher {
       case VarRef(v) if bound.contains(v) => col(bound(v))
       case VarRef(v) if edgeVars.contains(v) =>
         throw new IllegalArgumentException(s"bare edge variable $v needs a property (or use RETURN *)")
+      case VarRef(v) if varLenVars.contains(v) =>
+        throw new IllegalArgumentException(
+          s"variable-length edge $v binds a path — read its hop count with length($v)")
       case VarRef(v) => throw new IllegalArgumentException(s"unbound variable $v")
       case Prop(v, p) if edgeVars.contains(v) =>
         val c = s"${v}_$p"
@@ -491,6 +575,8 @@ object Cypher {
       case Or(l, r) => exprCol(l) || exprCol(r)
       case Not(x) => !exprCol(x)
       case Fn("type", Some(VarRef(v))) if edgeVars.contains(v) => col(s"${v}_layer")
+      case Fn(n, Some(VarRef(v))) if (n == "length" || n == "size") && varLenVars.contains(v) =>
+        col(varLenVars(v))
       case IsNull(x, false) => exprCol(x).isNull
       case IsNull(x, true) => exprCol(x).isNotNull
       case Fn(n, _) => throw new IllegalArgumentException(
@@ -615,19 +701,32 @@ object Cypher {
             // (and the reference's same-name edge tables would alias);
             // fail clearly instead of producing duplicate columns
             edge.v.foreach { v =>
-              require(!edgeVars.contains(v),
+              require(!edgeVars.contains(v) && !varLenVars.contains(v),
                 s"edge variable $v is already bound — relationship variables cannot repeat in a pattern")
             }
             val ev = edge.v.getOrElse(freshEdge())
-            partEdges += ev
+            val isVarLen = edge.range.isDefined
+            if (isVarLen) {
+              val (rLo, rHiOpt) = edge.range.get
+              val rHi = rHiOpt.getOrElse(throw new IllegalArgumentException(
+                s"unbounded variable-length pattern *$rLo.. needs a finite upper bound " +
+                  "(unbounded closure = Components.reach / inComponentOf)"))
+              require(rLo >= 1 && rHi >= rLo && rHi <= 8,
+                s"variable-length bounds must satisfy 1 <= m <= n <= 8, got *$rLo..$rHi")
+            } else partEdges += ev
             // the columns the chain's left/right nodes bind to: storage
             // src/dst for directed arrows, the orientation-exploded __a/__b
-            // pair for undirected patterns
+            // pair for undirected and variable-length patterns
             val (leftCol, rightCol) =
-              if (edge.undirected) (s"${ev}__a", s"${ev}__b")
+              if (edge.undirected || isVarLen) (s"${ev}__a", s"${ev}__b")
               else if (edge.leftToRight) (s"${ev}_src", s"${ev}_dst")
               else (s"${ev}_dst", s"${ev}_src")
-            val df = edgeFrame(ev, edge)
+            val df =
+              if (isVarLen) {
+                val (rLo, rHi) = (edge.range.get._1.toInt, edge.range.get._2.get.toInt)
+                edge.v.foreach(v => varLenVars(v) = s"${ev}_len")
+                pathFrame(ev, edge, rLo, rHi)
+              } else edgeFrame(ev, edge)
             // shared node vars become equi-join conditions against the new
             // frame; bindings only take effect after conds are computed
             val conds = Seq.newBuilder[Column]
@@ -705,6 +804,7 @@ object Cypher {
       bound.clear(); bound ++= newBound
       valueVars.clear(); valueVars ++= newValues
       edgeVars.clear(); edgeVars ++= keepEdges
+      varLenVars.clear() // carry a hop count as `WITH length(e) AS n`
       nodeJoined.clear() // projected columns only — prop reads must rejoin
       acc = out
       part.where.foreach { w =>
@@ -776,8 +876,9 @@ object Cypher {
           (col(c).as(s"${v}_vid") +: extra)
         }
         val eCols = edgeVars.toSeq.filter(kv => !synth(kv._1)).flatMap(_._2.map(col))
+        val lenCols = varLenVars.toSeq.filter(kv => !synth(kv._1)).map(kv => col(kv._2))
         val vCols = valueVars.values.toSeq.map(col)
-        acc.select((nodeCols ++ eCols ++ vCols): _*)
+        acc.select((nodeCols ++ eCols ++ lenCols ++ vCols): _*)
       } else projectItems(q.items, itemNames)
     if (q.distinct) out = out.dropDuplicates()
     if (q.orderBy.nonEmpty) out = out.orderBy(resolveOrder(out, q.orderBy): _*)

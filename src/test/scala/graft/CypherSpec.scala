@@ -385,4 +385,79 @@ class CypherSpec extends AnyFunSuite {
         "UNION ALL MATCH ()-[e]->() RETURN e.src AS s")
     }
   }
+
+  // ---- variable-length relationships (openCypher RangeLiteral —
+  // cypher.pest:203 parses it, the reference transpiler never executes
+  // it). Fixture paths hand-enumerated over E1:0→1 E2:1→2 E3:0→2
+  // E4:2→3 E5:3→0 E6:2→0: 6 one-hop, 10 two-hop, 14 three-hop paths
+  // (16 without uniqueness: E3E6E3 and E6E3E6 reuse an event). --------
+
+  test("var-length *1..2 counts one row per path") {
+    assert(Cypher.run(g, "MATCH (a)-[*1..2]->(b) RETURN count(*) AS n")
+      .head().getLong(0) == 16L)
+  }
+
+  test("var-length *2 endpoint bindings and WHERE on the start node") {
+    // from 0: E1E2→2, E3E4→3, E3E6→0
+    val b = Cypher.run(g, "MATCH (a)-[*2]->(b) WHERE a.id = 0 RETURN b.id AS bid")
+      .collect().map(_.getLong(0)).toSet
+    assert(b == Set(0L, 2L, 3L))
+    // WHERE on a node property (name) via the lazy node-table join
+    assert(Cypher.run(g, "MATCH (a)-[*1..2]->(b) WHERE a.name = 'zero' RETURN count(*) AS n")
+      .head().getLong(0) == 5L) // E1, E3 + E1E2, E3E4, E3E6
+  }
+
+  test("var-length relationship uniqueness holds WITHIN the path") {
+    // 16 raw 3-hop event sequences, 14 once E3E6E3 / E6E3E6 are blocked
+    assert(Cypher.run(g, "MATCH ()-[*3]->() RETURN count(*) AS n")
+      .head().getLong(0) == 14L)
+  }
+
+  test("length(p) exposes the hop count with implicit grouping") {
+    val rows = Cypher.run(g,
+      "MATCH (a)-[p*1..2]->(b) RETURN length(p) AS l, count(*) AS n ORDER BY l")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 6L), (2L, 10L)))
+  }
+
+  test("var-length reversed arrow and *..n / *n..m range forms") {
+    assert(Cypher.run(g, "MATCH (a)<-[*2]-(b) RETURN count(*) AS n")
+      .head().getLong(0) == 10L)
+    assert(Cypher.run(g, "MATCH ()-[*..2]->() RETURN count(*) AS n")
+      .head().getLong(0) == 16L)
+    assert(Cypher.run(g, "MATCH ()-[*2..3]->() RETURN count(*) AS n")
+      .head().getLong(0) == 24L)
+  }
+
+  test("var-length with a label walks only that layer") {
+    // layer a = E1,E2,E5,E6; 2-hop chains: E1E2, E2E6, E5E1, E6E1
+    assert(Cypher.run(g, "MATCH ()-[:a*2]->() RETURN count(*) AS n")
+      .head().getLong(0) == 4L)
+  }
+
+  test("undirected var-length uses both orientations per hop") {
+    assert(Cypher.run(g, "MATCH (a)-[*1..1]-(b) RETURN count(*) AS n")
+      .head().getLong(0) == 12L)
+  }
+
+  test("var-length chains into a further single hop on the bound node") {
+    // sum over 2-hop paths of outdeg(end) = 16 (hand-enumerated)
+    assert(Cypher.run(g, "MATCH (a)-[p*2]->(b)-[f]->(c) RETURN count(*) AS n")
+      .head().getLong(0) == 16L)
+  }
+
+  test("unbounded / zero-length / bare-var-ref var-length forms are rejected") {
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a)-[*]->(b) RETURN count(*) AS n")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a)-[*1..]->(b) RETURN count(*) AS n")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a)-[*0..2]->(b) RETURN count(*) AS n")
+    }
+    intercept[IllegalArgumentException] { // path var binds a path, not a value
+      Cypher.run(g, "MATCH (a)-[p*2]->(b) RETURN p")
+    }
+  }
 }

@@ -49,6 +49,14 @@ object Pathing {
     var level = 0L
     var done = frontier.isEmpty
     val dbg = sys.env.contains("GRAFT_SSSP_DEBUG")
+    // NOTE: this loop deliberately keeps EAGER checkpoints. The lazy-
+    // checkpoint fusion that pays off in Components.reach and
+    // temporallyReachableNodes was measured here too (interleaved sf0.1
+    // probes) and came out ~15% SLOWER: the lazy union materialises
+    // inside the next level's anti-join build side, serialising the
+    // checkpoint write into the critical join job, while the eager trio's
+    // two extra actions (limit-1 isEmpty + a union copy of two cached
+    // RDDs) are near-free at any frontier size.
     while (!done && level < cutoff) {
       level += 1
       val t0 = System.nanoTime()
@@ -68,17 +76,19 @@ object Pathing {
       // path reconstruction: each reached node has exactly one (min-vid)
       // parent, so dist-k paths = dist-(k-1) paths + own name
       val named = reached.join(g.nodes, Seq("vid"))
-        .select($"vid", $"name", $"dist", $"parent").localCheckpoint(true)
-      val maxRow = named.agg(max($"dist")).head()
+        .select($"vid", $"name", $"dist", $"parent").localCheckpoint(false)
+      val maxRow = named.agg(max($"dist")).head() // materialises the checkpoint
       val maxDist = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
       var levelPaths = named.filter($"dist" === 0L).select($"vid", array($"name").as("path"))
       var paths = levelPaths
       var l = 1L
       while (l <= maxDist) {
+        // lazy: each level's checkpoint materialises inside the next
+        // level's join (or the final join) — no per-level eager job
         levelPaths = named.filter($"dist" === l)
           .join(levelPaths.select($"vid".as("parent"), $"path".as("ppath")), Seq("parent"))
           .select($"vid", concat($"ppath", array($"name")).as("path"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         paths = paths.union(levelPaths)
         l += 1
       }
@@ -295,8 +305,11 @@ object Pathing {
       step += 1
       val scatter = reachScatter(frontier, events, g.nodes, bStops.toSeq)
       // distinct within the batch only (parallel same-ts events); disjoint
-      // windows already guarantee no duplicate across batches
-      val newMsgs = scatter.distinct().localCheckpoint(true)
+      // windows already guarantee no duplicate across batches. Lazy
+      // checkpoints: the counting aggregate below materialises newMsgs +
+      // merged in ONE Spark job per superstep (the eager-checkpoint trio
+      // was 4 fixed-cost jobs/step — same fusion as Components.reach)
+      val newMsgs = scatter.distinct().localCheckpoint(false)
       val touched = newMsgs.groupBy($"vid").agg(min($"t").as("msg_min"))
       val merged = state.join(touched, Seq("vid"), "full")
         .select($"vid",
@@ -306,7 +319,7 @@ object Pathing {
           $"earliest".isNull.as("is_new"),
           (coalesce($"msg_min", lit(Long.MaxValue)) <
             coalesce($"earliest", lit(Long.MaxValue))).as("improved"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // an improved row is still pending work: its disjoint re-scatter
       // window [new_earliest, old_earliest) can taint genuinely new
       // downstream nodes (events below the old taint time never fired),
@@ -317,10 +330,11 @@ object Pathing {
       val newCount = cnts.getLong(0)
       val improvedCount = cnts.getLong(1)
       batches += newMsgs
+      // merged is checkpointed, so the filtered frontier/state views are
+      // one-step lineage — no further checkpoint needed
       frontier = merged.filter($"is_new" || $"improved")
         .select($"vid", $"new_earliest".as("earliest"),
           when($"is_new", lit(null).cast("long")).otherwise($"old_earliest").as("prev"))
-        .localCheckpoint(true)
       state = merged.select($"vid", $"new_earliest".as("earliest"))
       done = newCount == 0 && improvedCount == 0
     }

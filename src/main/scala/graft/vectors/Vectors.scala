@@ -91,8 +91,12 @@ object Vectors {
             spark.emptyDataFrame.select(lit("").as("_k"),
               array().cast("array<double>").as("embedding")).limit(0)
           }
-        val hits = keyed.join(broadcast(cached.dropDuplicates("_k")), Seq("_k"))
-        val misses = keyed.join(broadcast(cached.select("_k")), Seq("_k"), "left_anti")
+        // no broadcast hint: the cache is parquet-backed with known size
+        // stats, so Catalyst broadcasts it while it's small and switches
+        // to a shuffled hash join once it outgrows the driver — a forced
+        // broadcast would OOM at billions of cached embeddings
+        val hits = keyed.join(cached.dropDuplicates("_k"), Seq("_k"))
+        val misses = keyed.join(cached.select("_k"), Seq("_k"), "left_anti")
           .withColumn("embedding", embedder.embed(col("content")))
         if (!misses.isEmpty)
           misses.select("_k", "embedding").dropDuplicates("_k")

@@ -212,12 +212,15 @@ object Pathing {
     light.count()
     edges.unpersist()
 
+    val dbg = sys.env.contains("GRAFT_SSSP_DEBUG")
     var state = g.nodes.filter($"name" === source)
       .select($"vid", lit(0.0).as("dist")).localCheckpoint(false)
     var bucket = if (state.count() == 0) -1L else 0L
     var outer = 0L
     while (bucket >= 0) {
       outer += 1
+      val tB = System.nanoTime()
+      var inner = 0L
       if (outer > maxBuckets) throw new IllegalStateException(
         s"deltaStepping exceeded $maxBuckets buckets (delta=$d0 too small for the weight range)")
       val lo = bucket * d0
@@ -228,10 +231,20 @@ object Pathing {
       var frontier = state.filter($"dist" >= lo && $"dist" < hi).localCheckpoint(false)
       var fCount = frontier.count()
       while (fCount > 0) {
-        val merged = deltaRelax(frontier, light, state).localCheckpoint(false)
+        inner += 1
+        // two relaxations per materialisation: the intermediate merge is a
+        // lazy checkpoint shared by the second relax's frontier and state
+        // sides, so one counting action drives both rounds — halves the
+        // actions (and checkpoint churn) per settled bucket vs one-round
+        // batches; the extra relax after convergence runs on an empty
+        // frontier and costs one no-op stage
+        val m1 = deltaRelax(frontier, light, state).localCheckpoint(false)
+        val f1 = m1.filter($"improved" && $"dist" < hi).select($"vid", $"dist")
+        val merged = deltaRelax(f1, light, m1.select($"vid", $"dist"))
+          .localCheckpoint(false)
         frontier = merged.filter($"improved" && $"dist" < hi)
           .select($"vid", $"dist").localCheckpoint(false)
-        fCount = frontier.count() // one job: materialises merged + frontier
+        fCount = frontier.count() // one job: materialises m1 + merged + frontier
         state = merged.select($"vid", $"dist")
       }
       // heavy edges fire once per settled bucket; then jump to the next
@@ -241,6 +254,8 @@ object Pathing {
         state = deltaRelax(bNodes, heavy, state).select($"vid", $"dist").localCheckpoint(false)
       }
       val nextRow = state.agg(min(when($"dist" >= hi, floor($"dist" / d0).cast("long")))).head()
+      if (dbg) println(f"[delta] bucket=$bucket inner=$inner " +
+        f"wall=${(System.nanoTime() - tB) / 1e9}%.2f")
       // max(_, bucket+1): dist/d0 can round down across the hi boundary
       bucket = if (nextRow.isNullAt(0)) -1L else math.max(nextRow.getLong(0), bucket + 1)
     }

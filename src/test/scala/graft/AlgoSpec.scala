@@ -149,6 +149,19 @@ class AlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("delta-stepping settles an odd relaxation count (mid-pair convergence)") {
+    // chain 0->1->2->3, w=1, huge delta: one bucket, exactly 3 productive
+    // relaxations — the second relax of the second PAIR runs on an empty
+    // improvement set, exercising the batched loop's mid-pair exit
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L)).zipWithIndex
+      .map { case ((u, v), i) => (u, v, i.toLong, i.toLong, "_default", 1.0) }
+      .toDF("src", "dst", "ts", "seq", "layer", "weight")
+    val g = LinkGraph.fromRawEdges(e)
+    val got = Pathing.deltaStepping(g, "0", 100.0, Some("weight"), "out").collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Double]("dist")).toMap
+    assert(got == Map("0" -> 0.0, "1" -> 1.0, "2" -> 2.0, "3" -> 3.0))
+  }
+
   test("delta-stepping rejects negative weights") {
     val e = Seq((1L, 2L, 0L, 0L, "_default", -1.0))
       .toDF("src", "dst", "ts", "seq", "layer", "weight")

@@ -31,6 +31,7 @@ for line in open(sys.argv[1]):
     if m:
         c, r = int(m.group(1)), int(m.group(2))
         best[c] = max(best.get(c, 0), r)
+assert len(best) >= 2, f"need two core counts in the log, got {sorted(best)} — campaign incomplete"
 lo, hi = min(best), max(best)
 eff = best[hi] / ((hi / lo) * best[lo])
 with open(sys.argv[1], "a") as f:

@@ -92,9 +92,10 @@ object Vectors {
               array().cast("array<double>").as("embedding")).limit(0)
           }
         // no broadcast hint: the cache is parquet-backed with known size
-        // stats, so Catalyst broadcasts it while it's small and switches
-        // to a shuffled hash join once it outgrows the driver — a forced
-        // broadcast would OOM at billions of cached embeddings
+        // stats, so Catalyst broadcasts it while it's small and falls back
+        // to a distributed join (SMJ under the default conf) once it
+        // outgrows the threshold — a forced broadcast would OOM the driver
+        // at billions of cached embeddings
         val hits = keyed.join(cached.dropDuplicates("_k"), Seq("_k"))
         val misses = keyed.join(cached.select("_k"), Seq("_k"), "left_anti")
           .withColumn("embedding", embedder.embed(col("content")))

@@ -263,6 +263,13 @@ object Queries2 {
     "cy_optional" -> ((s, d) =>
       graft.cypher.Cypher.run(graph(s, d),
         "MATCH (a) OPTIONAL MATCH (a)-[e]->(b) RETURN a.id AS id, count(e.ts) AS n_out")),
+    // SKIP/LIMIT paging of the fully-ordered edge scan; (src,dst,ts) ties
+    // are interchangeable whole rows, so the page's row multiset is
+    // deterministic and the driver's sorted-row hash compare is safe
+    "cy_skip" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[e]->(b) RETURN a.id AS src, b.id AS dst, e.ts AS ts " +
+          "ORDER BY src, dst, ts SKIP 100 LIMIT 50")),
     // UNION dedups across overlapping branches (early events + self-loops)
     "cy_union" -> ((s, d) => {
       val g = graph(s, d)
@@ -668,6 +675,10 @@ object Queries2 {
       s"""WITH $sqlGraph
          |SELECT n.id, CAST(count(e.src) AS BIGINT) AS n_out
          |FROM nodes n LEFT JOIN ev e ON e.src = n.id GROUP BY n.id""".stripMargin,
+    "cy_skip" ->
+      s"""WITH $sqlGraph
+         |SELECT src, dst, ts FROM ev
+         |ORDER BY src, dst, ts LIMIT 50 OFFSET 100""".stripMargin,
     "cy_union" ->
       s"""WITH $sqlGraph,
          |tt AS (SELECT (max(ts) + 1) // 2 AS t FROM ev)

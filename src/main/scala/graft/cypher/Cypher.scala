@@ -52,7 +52,7 @@ import graft.graph.LinkGraph
   *    properties (lib.rs:410,565; parser fixtures mod.rs:1710-1790);
   *  - RETURN items (var, var.prop, aliases, bare edge var = the whole
   *    event row, type(e) = layer; lib.rs:241-255), RETURN *, DISTINCT,
-  *    ORDER BY ... ASC|DESC, LIMIT;
+  *    ORDER BY ... ASC|DESC, SKIP, LIMIT;
   *  - aggregates count(*)/count(x)/sum/min/max/avg/collect with Cypher
   *    implicit grouping (non-aggregate RETURN/WITH items become the
   *    keys).
@@ -102,13 +102,14 @@ object Cypher {
   case class MatchPart(chains: Seq[Chain], where: Option[Expr],
                        optional: Boolean = false) extends Part
   case class WithPart(distinct: Boolean, items: Seq[RetItem],
-                      orderBy: Seq[(Expr, Boolean)], limit: Option[Long],
-                      where: Option[Expr]) extends Part
+                      orderBy: Seq[(Expr, Boolean)], skip: Option[Long],
+                      limit: Option[Long], where: Option[Expr]) extends Part
   case class UnwindPart(list: Expr, alias: String) extends Part
 
   case class Query(parts: Seq[Part], distinct: Boolean,
                    returnAll: Boolean, items: Seq[RetItem],
-                   orderBy: Seq[(Expr, Boolean)], limit: Option[Long])
+                   orderBy: Seq[(Expr, Boolean)], skip: Option[Long],
+                   limit: Option[Long])
 
   // ---------- tokenizer ----------
   private sealed trait Tok
@@ -368,6 +369,12 @@ object Cypher {
         case t => throw new IllegalArgumentException(s"expected LIMIT count, got $t")
       } else None
 
+    private def skipOpt(): Option[Long] =
+      if (kw("SKIP")) next() match {
+        case TNum(s) => Some(s.toLong)
+        case t => throw new IllegalArgumentException(s"expected SKIP count, got $t")
+      } else None
+
     def query(): Query = {
       val parts = Seq.newBuilder[Part]
       var sawReturn = false
@@ -386,13 +393,14 @@ object Cypher {
           parts += UnwindPart(list, ident())
         } else if (kw("WITH")) {
           // grammar order (openCypher / cypher.pest:32-55):
-          // WITH [DISTINCT] items [ORDER BY ...] [LIMIT n] [WHERE ...]
+          // WITH [DISTINCT] items [ORDER BY ...] [SKIP n] [LIMIT n] [WHERE ...]
           val distinct = kw("DISTINCT")
           val items = retItems()
           val order = orderByOpt()
+          val skip = skipOpt()
           val limit = limitOpt()
           val where = if (kw("WHERE")) Some(expr()) else None
-          parts += WithPart(distinct, items, order, limit, where)
+          parts += WithPart(distinct, items, order, skip, limit, where)
         } else {
           expectKw("RETURN")
           sawReturn = true
@@ -404,8 +412,9 @@ object Cypher {
       if (punct("*")) returnAll = true
       else items ++= retItems()
       val order = orderByOpt()
+      val skip = skipOpt()
       val limit = limitOpt()
-      Query(parts.result(), distinct, returnAll, items.result(), order, limit)
+      Query(parts.result(), distinct, returnAll, items.result(), order, skip, limit)
     }
 
     /** Top level: query [UNION [ALL] query]...; returns the branches and
@@ -785,6 +794,7 @@ object Cypher {
       var out = projectItems(part.items, itemNames)
       if (part.distinct) out = out.dropDuplicates()
       if (part.orderBy.nonEmpty) out = out.orderBy(resolveOrder(out, part.orderBy): _*)
+      part.skip.foreach(n => out = out.offset(n.toInt))
       part.limit.foreach(n => out = out.limit(n.toInt))
       // rebind the scope to exactly the carried items
       val keepEdges = part.items.collect {
@@ -882,6 +892,9 @@ object Cypher {
       } else projectItems(q.items, itemNames)
     if (q.distinct) out = out.dropDuplicates()
     if (q.orderBy.nonEmpty) out = out.orderBy(resolveOrder(out, q.orderBy): _*)
+    // SKIP before LIMIT (openCypher): offset-then-limit keeps rows
+    // skip..skip+limit of the sorted stream
+    q.skip.foreach(n => out = out.offset(n.toInt))
     q.limit.foreach(n => out = out.limit(n.toInt))
     out
   }

@@ -98,6 +98,25 @@ class CypherSpec extends AnyFunSuite {
     assert(w.toSeq == Seq(6.0, 5.0))
   }
 
+  test("ORDER BY + SKIP + LIMIT pages the sorted stream") {
+    val w = Cypher.run(g,
+      "match ()-[e]->() RETURN e.weight AS w ORDER BY w DESC SKIP 2 LIMIT 2")
+      .as[Double].collect()
+    assert(w.toSeq == Seq(4.0, 3.0)) // rows 2..3 of 6,5,4,3,...
+    val tail = Cypher.run(g,
+      "match ()-[e]->() RETURN e.weight AS w ORDER BY w DESC SKIP 100")
+      .as[Double].collect()
+    assert(tail.isEmpty) // SKIP past the end yields no rows
+  }
+
+  test("WITH SKIP drops the top of the sorted intermediate") {
+    val got = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WITH a, max(e.weight) AS w ORDER BY w DESC SKIP 1 LIMIT 1 " +
+        "RETURN a.id AS id, w")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 1 && got.head._2 < 6.0) // the runner-up, not the max
+  }
+
   test("RETURN DISTINCT") {
     val a = Cypher.run(g, "match (a)-[e]->() RETURN DISTINCT a.id AS a")
       .as[Long].collect().toSet

@@ -40,6 +40,9 @@ object Components {
     graft.bsp.IterativeConf.withStablePartitioning(g.spark) { scc0(g, trimIters) }
 
   private def scc0(g: LinkGraph, trimIters: Int): DataFrame = {
+    // the first trim round is what initialises the alive set; a
+    // non-positive bound would leave it null and NPE at the collect
+    require(trimIters >= 1, s"scc needs trimIters >= 1 (got $trimIters)")
     val spark = g.spark
     import spark.implicits._
     // self-loops never bind a node into a larger SCC; dropping them keeps

@@ -217,6 +217,7 @@ object Pathing {
       .select($"vid", lit(0.0).as("dist")).localCheckpoint(false)
     var bucket = if (state.count() == 0) -1L else 0L
     var outer = 0L
+    try {
     while (bucket >= 0) {
       outer += 1
       val tB = System.nanoTime()
@@ -265,7 +266,9 @@ object Pathing {
       // max(_, bucket+1): dist/d0 can round down across the hi boundary
       bucket = if (nextRow.isNullAt(0)) -1L else math.max(nextRow.getLong(0), bucket + 1)
     }
-    light.unpersist(); heavy.unpersist()
+    // finally: the maxBuckets guard throws mid-loop — don't leak the
+    // persisted edge splits into the rest of the session
+    } finally { light.unpersist(); heavy.unpersist() }
     state.join(g.nodes, Seq("vid")).select($"vid", $"name", $"dist")
     }
   }

@@ -842,6 +842,33 @@ object Cypher {
     def planOptionalMatch(part: MatchPart): Unit = {
       require(acc != null,
         "OPTIONAL MATCH requires a preceding MATCH/UNWIND binding")
+      // the sub-plan is built with the outer scope wiped, so an optional
+      // WHERE can only see its own pattern variables; catch an outer-scope
+      // reference up front with an actionable message instead of an
+      // unbound-variable / unresolved-column crash mid-plan
+      val patVars: Set[String] = part.chains.flatMap { ch =>
+        ch.first.v.toSeq ++ ch.hops.flatMap { case (ep, np) => ep.v.toSeq ++ np.v.toSeq }
+      }.toSet
+      def exprVars(e: Expr): Set[String] = e match {
+        case VarRef(v) => Set(v)
+        case Prop(v, _) => Set(v)
+        case Cmp(_, l, r) => exprVars(l) ++ exprVars(r)
+        case And(l, r) => exprVars(l) ++ exprVars(r)
+        case Or(l, r) => exprVars(l) ++ exprVars(r)
+        case Not(x) => exprVars(x)
+        case IsNull(x, _) => exprVars(x)
+        case Fn(_, a) => a.map(exprVars).getOrElse(Set.empty)
+        case ListLit(items) => items.flatMap(exprVars).toSet
+        case _ => Set.empty
+      }
+      part.where.foreach { w =>
+        val outerRefs = exprVars(w).diff(patVars).filter(v =>
+          bound.contains(v) || valueVars.contains(v) || edgeVars.contains(v))
+        if (outerRefs.nonEmpty) throw new UnsupportedOperationException(
+          s"OPTIONAL MATCH WHERE may only reference its own pattern variables; " +
+            s"${outerRefs.mkString(", ")} come from the outer scope — apply that " +
+            "predicate in a WHERE/WITH after the OPTIONAL MATCH")
+      }
       val outerAcc = acc
       val outerBound = bound.toMap
       val outerNodeJoined = nodeJoined.toSet
@@ -849,12 +876,26 @@ object Cypher {
       bound.clear()
       nodeJoined.clear()
       planMatch(part.copy(optional = false))
-      val sub = acc
-      val subBound = bound.toMap
+      var sub = acc
+      var subBound = bound.toMap
       val subNodeJoined = nodeJoined.toSet
       val shared = outerBound.keySet.intersect(subBound.keySet)
       require(shared.nonEmpty,
         "OPTIONAL MATCH must share at least one node variable with the preceding scope")
+      // a shared var's node-table columns on the SUB side exist only to
+      // apply the pre-join label/property/WHERE constraints (already done
+      // inside the sub-plan); keeping them would duplicate the outer
+      // side's `<v>_name`/... columns and make every later read ambiguous
+      for (v <- shared if subNodeJoined(v); c <- g.nodes.columns if c != "vid")
+        sub = sub.drop(s"${v}_$c")
+      // identical binding-column names on both sides (e.g. two bare node
+      // scans both binding `a_vid`) would make the join condition
+      // self-referential — rename the sub side's before joining
+      shared.toSeq.filter(v => subBound(v) == outerBound(v)).foreach { v =>
+        val r = s"${v}__ovid"
+        sub = sub.withColumnRenamed(subBound(v), r)
+        subBound = subBound.updated(v, r)
+      }
       val conds = shared.toSeq.map(v => col(outerBound(v)) === col(subBound(v)))
       acc = outerAcc.join(sub, conds.reduce(_ && _), "left")
       // outer bindings win for shared vars; sub-only bindings merge in.

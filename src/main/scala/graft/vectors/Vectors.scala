@@ -81,7 +81,11 @@ object Vectors {
   private def embedWithCache(docs: DataFrame, embedder: Embedder,
                              cachePath: Option[String]): DataFrame = {
     val spark = docs.sparkSession
-    val keyed = docs.withColumn("_k", md5(col("content").cast("binary")))
+    // the embedder's identity is part of the cache key: a cache written
+    // at one dimension must MISS (not silently serve wrong-width vectors)
+    // when reused with a different embedder
+    val keyed = docs.withColumn("_k",
+      md5(concat(lit(s"${embedder.dim}:"), col("content")).cast("binary")))
     cachePath match {
       case None => keyed.withColumn("embedding", embedder.embed(col("content"))).drop("_k")
       case Some(path) =>
@@ -97,8 +101,13 @@ object Vectors {
         // outgrows the threshold — a forced broadcast would OOM the driver
         // at billions of cached embeddings
         val hits = keyed.join(cached.dropDuplicates("_k"), Seq("_k"))
+        // persist the miss side: the embedder column program would
+        // otherwise re-run for the emptiness probe, the cache append AND
+        // the returned union's materialisation — triple the cost the
+        // cache exists to avoid
         val misses = keyed.join(cached.select("_k"), Seq("_k"), "left_anti")
           .withColumn("embedding", embedder.embed(col("content")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         if (!misses.isEmpty)
           misses.select("_k", "embedding").dropDuplicates("_k")
             .write.mode("append").parquet(path)

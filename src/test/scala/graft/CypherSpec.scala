@@ -378,6 +378,39 @@ class CypherSpec extends AnyFunSuite {
     assert(rows == Map((0L, 2L) -> 1L, (2L, 3L) -> 0L))
   }
 
+  test("OPTIONAL MATCH with a label on the shared var keeps later reads unambiguous") {
+    val typed = g.withNodeTypes(Seq((0L, "even"), (1L, "odd"), (2L, "even"), (3L, "odd"))
+      .toDF("vid", "node_type"))
+    // the label constraint joins the node table inside the sub-plan; its
+    // shared-var node columns must not survive the left join, or a.name
+    // here re-joins and explodes with AMBIGUOUS_REFERENCE
+    val rows = Cypher.run(typed,
+      "MATCH (a) OPTIONAL MATCH (a:even)-[e]->(c) " +
+        "RETURN a.name AS nm, count(e.ts) AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("zero" -> 2L, "one" -> 0L, "two" -> 2L, "three" -> 0L))
+  }
+
+  test("OPTIONAL MATCH on two bare node scans (identical binding names) joins cleanly") {
+    val typed = g.withNodeTypes(Seq((0L, "even"), (1L, "odd"), (2L, "even"), (3L, "odd"))
+      .toDF("vid", "node_type"))
+    // both sides bind a as a bare node-scan vid column of the SAME name;
+    // without the sub-side rename the join condition is self-referential
+    val rows = Cypher.run(typed,
+      "MATCH (a) OPTIONAL MATCH (a:odd) RETURN a.id AS id, count(*) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("OPTIONAL MATCH WHERE referencing the outer scope fails with a clear error") {
+    val ex = intercept[UnsupportedOperationException] {
+      Cypher.run(g,
+        "MATCH (a)-[e]->(b) OPTIONAL MATCH (b)-[f]->(c) WHERE c.id <> a.id " +
+          "RETURN a.id AS id")
+    }
+    assert(ex.getMessage.contains("outer scope"))
+  }
+
   test("leading / disconnected OPTIONAL MATCH is rejected") {
     intercept[IllegalArgumentException] {
       Cypher.run(g, "OPTIONAL MATCH (a)-[e]->(b) RETURN a.id AS id")

@@ -63,7 +63,7 @@ class VectorsSpec extends AnyFunSuite {
     // poisoned value would be overwritten in the result — it must be SERVED
     val poisoned = spark.read.parquet(path)
       .withColumn("embedding",
-        when(col("_k") === md5(lit("node alpha id 0").cast("binary")),
+        when(col("_k") === md5(lit("32:node alpha id 0").cast("binary")),
           typedLit(Array.fill(32)(9.0))).otherwise(col("embedding")))
     poisoned.write.mode("overwrite").parquet(s"$dir/cache2.parquet")
     val v2 = Vectors.vectorise(g, tpl, cachePath = Some(s"$dir/cache2.parquet"))
@@ -72,6 +72,20 @@ class VectorsSpec extends AnyFunSuite {
     assert(got == Seq.fill(32)(9.0))
     // and no new rows were appended (all hits)
     assert(spark.read.parquet(s"$dir/cache2.parquet").count() == n1)
+  }
+
+  test("embedding cache keyed by embedder dim: a different dim misses, never serves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vec-dim").toString
+    val path = s"$dir/cache.parquet"
+    val v32 = Vectors.vectorise(g, tpl, cachePath = Some(path))
+    val n = v32.documents.count()
+    // same path, 16-dim embedder: every doc must MISS (fresh 16-wide
+    // vectors), not silently serve the cached 32-wide ones
+    val v16 = Vectors.vectorise(g, tpl, Embedder(16), cachePath = Some(path))
+    val widths = v16.documents.select(size(col("embedding")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(widths == Seq(16))
+    assert(spark.read.parquet(path).count() == 2 * n) // both dims cached
   }
 
   test("nodesBySimilarity ranks a node's own document first") {

@@ -28,6 +28,15 @@ object RichClub {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clubSize = club.count()
     if (clubSize <= 1) { club.unpersist(); return 0.0 }
+    // per-view club edge sets fold on the driver (mirroring the
+    // reference's sequential per-view intersection) — bound the worst
+    // case C(|S_k|,2) before collecting instead of a silent OOM when a
+    // small k admits most of a large graph into the club
+    graft.bsp.DriverGuard.check(agg, "RichClub.temporalRichClub",
+      clubSize * (clubSize - 1) / 2,
+      "raise k (shrink the club), raise graft.driver.maxElements, or " +
+        "intersect per-window edge sets distributedly via g_rich_club's " +
+        "sliding-window join plan")
     val edgeSets: Seq[Set[(Long, Long)]] = views.map { v =>
       v.dedupEdges
         .filter($"src" =!= $"dst")

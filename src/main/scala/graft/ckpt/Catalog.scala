@@ -1,8 +1,9 @@
 package graft.ckpt
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import scala.jdk.CollectionConverters._
 
 /** Iceberg-shaped (snapshot + manifest) catalog over a filesystem
   * (SURVEY §7.0: no Iceberg runtime jar in the sandbox, so this implements
@@ -16,33 +17,49 @@ import scala.jdk.CollectionConverters._
   *
   * A snapshot is visible iff its manifest exists; half-written data dirs
   * are ignored — which is exactly the resume-after-kill guarantee the
-  * north rule asks for. */
+  * north rule asks for.
+  *
+  * All metadata I/O goes through the Hadoop FileSystem API resolved from
+  * the root path's scheme (file://, hdfs://, s3a://, ...), the same
+  * filesystem Spark writes the data files to — nothing here assumes a
+  * local disk. The manifest rename is atomic on local/HDFS; on object
+  * stores it is copy+delete, which is why real Iceberg commits via a
+  * catalog service there — same caveat, same seam. */
 final class Catalog(rootDir: String) extends Serializable {
-  private def meta(table: String): Path = Paths.get(rootDir, table, "meta")
-  private def dataDir(table: String, id: Long): Path =
-    Paths.get(rootDir, table, s"snap-$id")
+  private def fs(): FileSystem = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
+    new HPath(rootDir).getFileSystem(conf) // cached per scheme+authority
+  }
+  private def meta(table: String): HPath = new HPath(rootDir, s"$table/meta")
+  private def dataDir(table: String, id: Long): HPath =
+    new HPath(rootDir, s"$table/snap-$id")
 
   /** Write `df` as snapshot `id` of `table`; commit is the atomic manifest
     * rename, performed only after the parquet write succeeded. */
   def writeSnapshot(df: DataFrame, table: String, id: Long): Unit = {
     val dir = dataDir(table, id)
     df.write.mode("overwrite").parquet(dir.toString)
-    Files.createDirectories(meta(table))
-    val files = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val f = fs()
+    f.mkdirs(meta(table))
+    val files = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
     val manifest =
-      s"""{"snapshot":$id,"data":"${dir.getFileName}","files":[${files.map("\"" + _ + "\"").mkString(",")}],"committed_ms":${System.currentTimeMillis()}}"""
-    val tmp = meta(table).resolve(s".manifest-$id.tmp")
-    Files.writeString(tmp, manifest)
-    Files.move(tmp, meta(table).resolve(s"manifest-$id.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+      s"""{"snapshot":$id,"data":"${dir.getName}","files":[${files.map("\"" + _ + "\"").mkString(",")}],"committed_ms":${System.currentTimeMillis()}}"""
+    val tmp = new HPath(meta(table), s".manifest-$id.tmp")
+    val out = f.create(tmp, true)
+    try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val dst = new HPath(meta(table), s"manifest-$id.json")
+    f.delete(dst, false) // re-commit of the same id replaces its manifest
+    require(f.rename(tmp, dst), s"manifest commit rename failed: $tmp -> $dst")
   }
 
   /** Ids of committed snapshots (manifest present), ascending. */
   def snapshots(table: String): Seq[Long] = {
     val m = meta(table)
-    if (!Files.isDirectory(m)) return Seq.empty
-    Files.list(m).iterator().asScala.map(_.getFileName.toString)
+    val f = fs()
+    if (!f.exists(m)) return Seq.empty
+    f.listStatus(m).map(_.getPath.getName)
       .collect { case s if s.startsWith("manifest-") && s.endsWith(".json") =>
         s.stripPrefix("manifest-").stripSuffix(".json").toLong
       }.toSeq.sorted

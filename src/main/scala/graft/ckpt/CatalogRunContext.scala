@@ -19,9 +19,11 @@ import scala.collection.mutable.ArrayBuffer
   * A snapshot is only visible once its manifest commits (atomic rename), so
   * a kill mid-write leaves the previous superstep as the resume point; the
   * algorithm restarts at max-committed-step + 1 and never recomputes
-  * earlier supersteps. `every` controls the durable-checkpoint cadence
-  * (1 = the north-rule every-superstep mode); intermediate steps still cut
-  * lineage via localCheckpoint. */
+  * earlier supersteps. `every` controls the durable STATE-checkpoint
+  * cadence (1 = the north-rule every-superstep mode); intermediate steps
+  * still cut lineage via localCheckpoint. Metrics flush durably once per
+  * superstep at record() time — after the step's global row exists — so
+  * the durable metrics never lag the committed state by a step. */
 final class CatalogRunContext(
     val catalog: Catalog,
     val runId: String,
@@ -51,7 +53,10 @@ final class CatalogRunContext(
     }
 
   override def checkpoint(state: DataFrame, step: Int): DataFrame = {
-    val ck = state.localCheckpoint(true)
+    // lazy: a committing step is materialised by the parquet write below;
+    // an intermediate step by the caller's own delta aggregate — same
+    // one-job-per-superstep fusion as LocalRunContext
+    val ck = state.localCheckpoint(false)
     if (step % every == 0) {
       catalog.writeSnapshot(ck, stateTable, step)
       // per-partition lineage of the committed snapshot
@@ -63,15 +68,22 @@ final class CatalogRunContext(
           pending += MetricRow("lineage", step, pid, rows, 0L, 0L, 0.0, 0.0)
         }
       }
-      flushMetrics()
     }
     ck
   }
 
-  override def record(stat: StepStat): Unit = pending.synchronized {
-    stepStats += stat
-    pending += MetricRow(stat.algo, stat.step, -1, -1L, stat.edgesScattered,
-      stat.messages, stat.delta, stat.wallMs)
+  override def record(stat: StepStat): Unit = {
+    pending.synchronized {
+      stepStats += stat
+      pending += MetricRow(stat.algo, stat.step, -1, -1L, stat.edgesScattered,
+        stat.messages, stat.delta, stat.wallMs)
+    }
+    // flush once per superstep, AFTER the step's global row is recorded —
+    // the callers record() right after checkpoint(), so a committed step's
+    // durable metrics include its own row (previously the flush ran inside
+    // checkpoint() and every committed snapshot's metrics lagged one step,
+    // permanently losing the final step's row on run end or crash)
+    flushMetrics()
   }
 
   override def stats: Seq[StepStat] = stepStats.toSeq

@@ -286,8 +286,14 @@ object LinkGraph {
 
   /** Full ingestion pipeline: pages table → hrefs → edge events → vids. */
   def fromPages(pages: DataFrame): LinkGraph = {
-    val events = Ingest.edgeEvents(pages)
-    fromEdgeEvents(events)
+    // manage the raw-extraction cache here: fromEdgeEvents counts its own
+    // persisted event table, after which the raw cache is dead weight —
+    // release it instead of leaking one MEMORY_AND_DISK copy per ingest
+    val raw = Ingest.rawLinks(pages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = fromEdgeEvents(Ingest.edgeEventsFromRaw(raw))
+    raw.unpersist()
+    g
   }
 
   def fromEdgeEvents(events: org.apache.spark.sql.Dataset[EdgeEvent]): LinkGraph = {

@@ -131,7 +131,11 @@ object Html {
           val auth = authority(baseUrl)
           if (noFrag.startsWith("/")) bScheme + "://" + auth + removeDotSegments(noFrag)
           else {
-            val bPath = pathOf(baseUrl)
+            // RFC 3986 §5.3: merge against the base PATH only — a '/'
+            // inside the base's query must not become the merge directory
+            val bPath0 = pathOf(baseUrl)
+            val bq = bPath0.indexOf('?')
+            val bPath = if (bq >= 0) bPath0.substring(0, bq) else bPath0
             val dir = bPath.substring(0, bPath.lastIndexOf('/') + 1) // "" if no '/'
             val merged = if (dir.isEmpty) "/" + noFrag else dir + noFrag
             bScheme + "://" + auth + removeDotSegments(merged)

@@ -29,7 +29,10 @@ object Ingest {
   def edgeEvents(pages: DataFrame): Dataset[EdgeEvent] = {
     // cache the raw extraction: the sort below scans it three times
     // (range-partition sampling, zipWithIndex count, final compute), and
-    // HTML parsing is the expensive part of ingestion
+    // HTML parsing is the expensive part of ingestion. NOTE: the cache
+    // lives until session end — pipelines that ingest repeatedly should
+    // persist rawLinks themselves and call edgeEventsFromRaw (as
+    // LinkGraph.fromPages does) so they can unpersist after materialising
     val raw = rawLinks(pages).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = withSeq(raw).as(org.apache.spark.sql.Encoders.product[EdgeEvent])
     out
@@ -40,6 +43,16 @@ object Ingest {
   private[graft] def edgeEventsFromRaw(raw: DataFrame): Dataset[EdgeEvent] =
     withSeq(raw).as(org.apache.spark.sql.Encoders.product[EdgeEvent])
 
+  /** One page's href rows: (src_url, dst_url, ts, link_idx) — the single
+    * extraction body shared by the batch (rawLinks) and streaming
+    * (StreamIngest.edgeEventStream) paths, so the two sinks cannot drift
+    * in schema (link_idx type) or semantics (href resolution). */
+  private[graft] def pageLinks(url: String, ts: Long,
+                               html: Array[Byte]): Seq[(String, String, Long, Int)] =
+    Html.extractHrefs(new String(html, "UTF-8"), url).zipWithIndex.map {
+      case (href, j) => (url, href, ts, j)
+    }
+
   /** Href extraction without seq assignment: (src_url, dst_url, ts, link_idx). */
   def rawLinks(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession
@@ -47,11 +60,7 @@ object Ingest {
     pages
       .select($"url", unix_millis($"warc_ts").as("ts"), $"html")
       .as[(String, Long, Array[Byte])]
-      .flatMap { case (url, ts, html) =>
-        Html.extractHrefs(new String(html, "UTF-8"), url).zipWithIndex.map {
-          case (href, j) => (url, href, ts, j)
-        }
-      }
+      .flatMap { case (url, ts, html) => pageLinks(url, ts, html) }
       .toDF("src_url", "dst_url", "ts", "link_idx")
   }
 

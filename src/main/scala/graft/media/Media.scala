@@ -120,7 +120,8 @@ object Media {
         var out = Option.empty[(Int, Int, Int, Int)]
         while (out.isEmpty && i + 3 < b.length && (b(i) & 0xff) == 0xff) {
           val m = b(i + 1) & 0xff
-          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (m == 0xff) i += 1 // fill byte (ITU T.81 B.1.1.2), not a segment
+          else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
             if (i + 8 < b.length) out = Some((u16be(b, i + 7), u16be(b, i + 5), 0, 1))
             else i = b.length
           } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
@@ -153,7 +154,10 @@ object Media {
           pos += 8L + size + (size & 1L) // chunks are word-aligned
         }
         if (rate > 0) {
-          val frames = if (blockAlign > 0) (dataSize / blockAlign).toInt else 0
+          // untrusted u32 data size / small blockAlign can exceed Int range
+          // — cap instead of wrapping negative
+          val frames = if (blockAlign > 0)
+            math.min(dataSize / blockAlign, Int.MaxValue.toLong).toInt else 0
           Some((0, 0, rate, frames))
         } else None
       } else None
@@ -227,6 +231,9 @@ object Media {
     * `maxFrames`, as (media_id, frame_index) — the shuffle-friendly shape
     * for a downstream per-frame decode. */
   def sampleFrames(features: Dataset[MediaFeatures], stride: Int, maxFrames: Int): DataFrame = {
+    // fail on the driver, not as a wrapped step-cannot-be-zero inside tasks
+    require(stride > 0, s"sampleFrames needs stride > 0 (got $stride)")
+    require(maxFrames > 0, s"sampleFrames needs maxFrames > 0 (got $maxFrames)")
     val spark = features.sparkSession
     import spark.implicits._
     features.filter(_.kind == "video")

@@ -28,14 +28,13 @@ object StreamIngest {
       org.apache.spark.sql.types.StructField("html", org.apache.spark.sql.types.BinaryType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
+    // extraction body shared with the batch path (Ingest.pageLinks): the
+    // stream sink's schema — including link_idx's INT32 — stays identical
+    // to batch-extracted event tables, so unions/compaction never mismatch
     spark.readStream.schema(schema).parquet(pagesDir)
       .select($"url", unix_millis($"warc_ts").as("ts"), $"html")
       .as[(String, Long, Array[Byte])]
-      .flatMap { case (url, ts, html) =>
-        graft.io.Html.extractHrefs(new String(html, "UTF-8"), url).zipWithIndex.map {
-          case (href, j) => (url, href, ts, j.toLong)
-        }
-      }
+      .flatMap { case (url, ts, html) => graft.io.Ingest.pageLinks(url, ts, html) }
       .toDF("src_url", "dst_url", "ts", "link_idx")
   }
 

@@ -22,6 +22,14 @@ class HtmlSpec extends AnyFunSuite {
       "https://site.example/up.html"))
   }
 
+  test("relative href merges against the base PATH, not its query (RFC 3986 §5.3)") {
+    // a '/' inside the base's query must not become the merge directory
+    assert(Html.extractHrefs("""<a href="a">x</a>""", "https://h.example/p?x=/y")
+      == Seq("https://h.example/a"))
+    assert(Html.extractHrefs("""<a href="b.html">x</a>""", "https://h.example/d/p.html?q=/z/")
+      == Seq("https://h.example/d/b.html"))
+  }
+
   test("fragment stripped; non-http(s) and fragment-only dropped") {
     val html =
       """<a href="https://x.example/a#frag">a</a>

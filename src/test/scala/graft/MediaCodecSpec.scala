@@ -49,6 +49,33 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(Media.HeaderCodec.decode("image", jpeg) == ((512, 256, 0, 1)))
   }
 
+  test("JPEG 0xFF fill bytes before a marker are skipped, not length-decoded (ITU T.81 B.1.1.2)") {
+    // ff d8 ff ff ff c0 ...: the old scan read the fill byte as a segment
+    // marker and jumped 2+u16be(garbage) bytes past the real SOF
+    val padded = bytes(0xff, 0xd8, 0xff, 0xff) ++ jpeg.drop(8)
+    assert(Media.HeaderCodec.decode("image", padded) == ((512, 256, 0, 1)))
+  }
+
+  test("WAV frame count caps at Int.MaxValue instead of wrapping negative") {
+    // data size 0xFFFFFFF0 with block align 1 -> frames would be ~2^32
+    val big = "RIFF".getBytes ++ bytes(0x24, 0x00, 0x00, 0x00) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ bytes(
+      0x10, 0x00, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00,
+      0x44, 0xac, 0x00, 0x00, 0x44, 0xac, 0x00, 0x00,
+      0x01, 0x00, // block align 1
+      0x08, 0x00) ++
+      "data".getBytes ++ bytes(0xf0, 0xff, 0xff, 0xff)
+    val (_, _, rate, frames) = Media.HeaderCodec.decode("audio", big)
+    assert(rate == 44100 && frames == Int.MaxValue)
+  }
+
+  test("sampleFrames rejects non-positive stride on the driver") {
+    import spark.implicits._
+    val feats = spark.emptyDataset[Media.MediaFeatures]
+    intercept[IllegalArgumentException] { Media.sampleFrames(feats, 0, 10) }
+    intercept[IllegalArgumentException] { Media.sampleFrames(feats, 4, 0) }
+  }
+
   test("GIF89a logical screen descriptor parses") {
     assert(Media.HeaderCodec.decode("image", gif) == ((320, 200, 0, 1)))
   }

@@ -147,9 +147,11 @@ object Queries {
         .select(col("vid").as("id"), round(col("value"), 2).as("value"))),
 
     "t_token_count" -> ((s, d) =>
+      // filter empty split fragments: trim() strips only spaces, so
+      // leading/trailing tabs/newlines would otherwise count as tokens
       tbl(s, d, "documents").select(col("doc_id"),
-        when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))),
+        size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .cast("long").as("n_tokens"))),
     "t_quality" -> ((s, d) => {
       val t = tbl(s, d, "documents")
       val nChars = length(col("text")).cast("long")
@@ -162,8 +164,12 @@ object Queries {
         round(digit / greatest(nChars, lit(1L)), 6).as("digit_ratio"))
     }),
     "t_lang_guess" -> ((s, d) => {
+      // double the spaces before counting ' w ' occurrences: adjacent
+      // marker words would otherwise share boundary spaces and the
+      // non-overlapping replace undercounts them (oracle SQL mirrors this)
       val t = tbl(s, d, "documents")
-        .withColumn("s", concat(lit(" "), lower(col("text")), lit(" ")))
+        .withColumn("s",
+          concat(lit(" "), replace(lower(col("text")), lit(" "), lit("  ")), lit(" ")))
       def cnt(m: String): Column =
         ((length(col("s")) - length(expr(s"replace(s, ' $m ', '')"))) / (m.length + 2)).cast("long")
       val en = (cnt("the") + cnt("and") + cnt("of")).as("en_hits")
@@ -309,8 +315,8 @@ object Queries {
         |FROM n2 LEFT JOIN i ON i.id = n2.id LEFT JOIN o ON o.id = n2.id""".stripMargin,
 
     "t_token_count" ->
-      """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      """SELECT doc_id, CAST(length(list_filter(regexp_split_to_array(text, '\s+'),
+        |  x -> x <> '')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
     "t_quality" ->
       """SELECT doc_id,
@@ -320,7 +326,7 @@ object Queries {
         |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1), 6) AS digit_ratio
         |FROM documents""".stripMargin,
     "t_lang_guess" ->
-      """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+      """WITH s AS (SELECT doc_id, ' ' || replace(lower(text), ' ', '  ') || ' ' AS s FROM documents),
         |h AS (SELECT doc_id,
         |  CAST((length(s) - length(replace(s, ' the ', ''))) / 5
         |     + (length(s) - length(replace(s, ' and ', ''))) / 5

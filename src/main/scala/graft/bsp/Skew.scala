@@ -57,7 +57,11 @@ object Skew {
     * collect_list of hot keys) — provided for completeness. */
   def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int): DataFrame = {
     val saltCol = "__graft_salt"
-    df.withColumn(saltCol, pmod(hash(col(valueCol)), lit(salts)))
+    // salt by the producing partition, NOT hash(value): constant or
+    // low-cardinality values of a hot key (the common count-style sum of
+    // 1s) would all hash to one salt and get zero spread — the exact
+    // failure mode saltedJoin documents
+    df.withColumn(saltCol, pmod(spark_partition_id(), lit(salts)))
       .groupBy(col(key), col(saltCol)).agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key)).agg(sum(col("__partial")).as(s"sum_$valueCol"))
   }

@@ -10,7 +10,11 @@ import org.apache.spark.sql.types._
   * numeric arrays, accumulated in double, left-to-right (so results are
   * bit-identical to the `aggregate(zip_with(...))` higher-order-function
   * formulation it replaces — but with whole-stage codegen instead of
-  * per-element interpreted lambdas).
+  * per-element interpreted lambdas). NULL semantics match the HOF form
+  * too: unequal lengths or a null element yield NULL (zip_with pads the
+  * shorter side with nulls, which poison the aggregate) — a corrupt or
+  * ragged embedding row drops out of a top-k instead of scoring a
+  * silently-truncated partial product.
   *
   * The reference's only scalar UDF is the Cypher layer's `type()`
   * (raphtory-cypher/src/lib.rs:88-115); this is our equivalent extension
@@ -22,6 +26,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // nullable even over non-null children: length mismatch / null element
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(t, _) => t
@@ -42,9 +48,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var i = 0
+    while (i < n) { if (x.isNullAt(i) || y.isNullAt(i)) return null; i += 1 }
+    var acc = 0.0
+    i = 0
     (elemType(left), elemType(right)) match {
       case (FloatType, FloatType) =>
         while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -69,12 +78,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -101,58 +101,41 @@ object CsrGraph {
     }, preservesPartitioning = true).persist(storage)
   }
 
-  /** Directed gather CSR (in-neighbours per dst) from deduped edges. */
-  def fromLinkGraph(g: LinkGraph, parts: Int): CsrGraph = {
+  /** Shared builder body: maxVid bound check, present-bitmap collect,
+    * pack, edge count. One implementation — the three public builders
+    * differ only in the (gatherKey, neighbour) pair projection. An empty
+    * graph (no nodes, e.g. a window view over a dead time range) packs to
+    * a valid zero-vertex CsrGraph instead of NPE-ing on the null max. */
+  private def build(g: LinkGraph, parts: Int,
+                    pairsDf: org.apache.spark.sql.DataFrame): CsrGraph = {
     val spark = g.spark
     import spark.implicits._
-    val maxVid = g.nodes.agg(max("vid")).head().getLong(0)
+    val maxRow = g.nodes.agg(max("vid")).head()
+    val maxVid = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
     require(maxVid < Int.MaxValue, s"CSR fast path requires vid < 2^31, got $maxVid")
     val n = (maxVid + 1).toInt
     val presentVids = g.nodes.select("vid").as[Long].collect()
     val present = new Array[Boolean](n)
     presentVids.foreach(v => present(v.toInt) = true)
-    val pairs = g.dedupEdges.select($"dst".cast("int"), $"src".cast("int"))
-      .as[(Int, Int)].rdd
+    val pairs = pairsDf.as[(Int, Int)].rdd
     val blocks = pack(pairs, n, parts)
     val m = blocks.map(_.srcs.length.toLong).fold(0L)(_ + _)
     new CsrGraph(n, presentVids.length, present, blocks, m)
   }
+
+  /** Directed gather CSR (in-neighbours per dst) from deduped edges. */
+  def fromLinkGraph(g: LinkGraph, parts: Int): CsrGraph =
+    build(g, parts, g.dedupEdges.select(col("dst").cast("int"), col("src").cast("int")))
 
   /** Reversed gather CSR: out-neighbours per src (= in-neighbours of the
     * reversed graph). Used by gathers that pull along out-edges (HITS
     * hub-from-auth). */
-  def reversedFromLinkGraph(g: LinkGraph, parts: Int): CsrGraph = {
-    val spark = g.spark
-    import spark.implicits._
-    val maxVid = g.nodes.agg(max("vid")).head().getLong(0)
-    require(maxVid < Int.MaxValue)
-    val n = (maxVid + 1).toInt
-    val presentVids = g.nodes.select("vid").as[Long].collect()
-    val present = new Array[Boolean](n)
-    presentVids.foreach(v => present(v.toInt) = true)
-    val pairs = g.dedupEdges.select($"src".cast("int"), $"dst".cast("int"))
-      .as[(Int, Int)].rdd
-    val blocks = pack(pairs, n, parts)
-    val m = blocks.map(_.srcs.length.toLong).fold(0L)(_ + _)
-    new CsrGraph(n, presentVids.length, present, blocks, m)
-  }
+  def reversedFromLinkGraph(g: LinkGraph, parts: Int): CsrGraph =
+    build(g, parts, g.dedupEdges.select(col("src").cast("int"), col("dst").cast("int")))
 
   /** Undirected gather CSR (distinct BOTH-neighbours per vertex). */
-  def undirectedFromLinkGraph(g: LinkGraph, parts: Int): CsrGraph = {
-    val spark = g.spark
-    import spark.implicits._
-    val maxVid = g.nodes.agg(max("vid")).head().getLong(0)
-    require(maxVid < Int.MaxValue)
-    val n = (maxVid + 1).toInt
-    val presentVids = g.nodes.select("vid").as[Long].collect()
-    val present = new Array[Boolean](n)
-    presentVids.foreach(v => present(v.toInt) = true)
-    val pairs = g.undirectedPairs.select($"a".cast("int"), $"b".cast("int"))
-      .as[(Int, Int)].rdd
-    val blocks = pack(pairs, n, parts)
-    val m = blocks.map(_.srcs.length.toLong).fold(0L)(_ + _)
-    new CsrGraph(n, presentVids.length, present, blocks, m)
-  }
+  def undirectedFromLinkGraph(g: LinkGraph, parts: Int): CsrGraph =
+    build(g, parts, g.undirectedPairs.select(col("a").cast("int"), col("b").cast("int")))
 
   /** Per-source distinct out-degree as a dense array (gather blocks count
     * each (dst, src) once, so counting srcs across blocks gives the

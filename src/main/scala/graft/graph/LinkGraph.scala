@@ -109,11 +109,15 @@ class LinkGraph(
 
   /** Latest value of `prop` per node at time t (events with ts <= t;
     * node.rs:104-109 `.at(t)`): (vid, ts, value) — one hash aggregate,
-    * no window/sort. Nodes with no event by t are absent. */
+    * no window/sort. Nodes with no event by t are absent. Same-timestamp
+    * updates tie-break on the larger value (the event log carries no seq,
+    * unlike the reference's (ts, seq) TimeIndexEntry) — deterministic
+    * across runs, where a bare max_by(value, ts) picks an arbitrary row. */
   def propertyAt(prop: String, t: Long): DataFrame =
     propertyHistory(prop).filter(col("ts") <= t)
       .groupBy(col("vid"))
-      .agg(max(col("ts")).as("ts"), max_by(col("value"), col("ts")).as("value"))
+      .agg(max(col("ts")).as("ts"),
+        max_by(col("value"), struct(col("ts"), col("value"))).as("value"))
 
   /** Latest value per node over the whole view (`.latest()`). */
   def propertyLatest(prop: String): DataFrame = propertyAt(prop, Long.MaxValue)
@@ -200,12 +204,17 @@ class LinkGraph(
     val remapRdd = nodes.select(col("vid")).orderBy(col("vid")).rdd.zipWithIndex
       .map { case (r, i) => org.apache.spark.sql.Row(r.getLong(0), i) }
     val remap = spark.createDataFrame(remapRdd, remapSchema)
+    // carry EVERY extra column through the remap (edge weights that
+    // fromRawEdges documents as preserved, node_type / node props):
+    // re-selecting only the canonical columns silently stripped them
+    val nodeExtras = nodes.columns.filterNot(_ == "vid").map(col).toSeq
     val newNodes = nodes.join(remap, nodes("vid") === remap("old_vid"))
-      .select(col("new_vid").as("vid"), col("name"))
+      .select(col("new_vid").as("vid") +: nodeExtras: _*)
+    val edgeExtras = edges.columns.filterNot(c => c == "src" || c == "dst").map(col).toSeq
     val newEdges = edges
       .join(remap.select(col("old_vid").as("src"), col("new_vid").as("src2")), Seq("src"))
       .join(remap.select(col("old_vid").as("dst"), col("new_vid").as("dst2")), Seq("dst"))
-      .select(col("src2").as("src"), col("dst2").as("dst"), col("ts"), col("seq"), col("layer"))
+      .select(Seq(col("src2").as("src"), col("dst2").as("dst")) ++ edgeExtras: _*)
     val newProps = nodePropEvents.map(_.join(remap, col("vid") === col("old_vid"))
       .select(col("new_vid").as("vid"), col("prop"), col("ts"), col("value")))
     new LinkGraph(newEdges, newNodes, namesAreNumeric, newProps)

@@ -38,11 +38,17 @@ object Search {
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     val n = docs.count()
-    val index = postings(docs, idCol, textCol)
     val terms = spark.createDataFrame(queryTerms.distinct.map(Tuple1(_))).toDF("term")
-    val idf = docFrequencies(index.join(broadcast(terms), Seq("term"), "left_semi"))
+    // filter the postings to the query terms ONCE and cache that small
+    // set: both the IDF subquery and the score join consume it, so the
+    // expensive tokenize+explode+groupBy job runs a single time instead
+    // of twice (the cache is O(query-term postings), not the corpus)
+    val hits = postings(docs, idCol, textCol)
+      .join(broadcast(terms), Seq("term"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idf = docFrequencies(hits)
       .withColumn("idf", log((lit(n) + 1.0) / (col("df") + 1.0)))
-    index.join(broadcast(idf.select(col("term"), col("idf"))), Seq("term"))
+    hits.join(broadcast(idf.select(col("term"), col("idf"))), Seq("term"))
       .groupBy(col(idCol))
       .agg(round(sum(col("tf") * col("idf")), 6).as("score"),
         count(lit(1)).as("n_terms_hit"))

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * DuckDB-expressible definition so the driver's oracle can replay it. */
 object TextOps {
 
-  /** Whitespace token count (0 for blank text). */
+  /** Whitespace token count (0 for blank text). Empty fragments are
+    * filtered AFTER the split: Spark's trim() strips only spaces, so
+    * leading/trailing tabs/newlines leave empty split fragments that a
+    * bare size() would count as tokens. */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0L)
-      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+    size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
 
   /** (n_chars, punct_ratio, upper_ratio, digit_ratio) quality columns. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
@@ -27,9 +29,11 @@ object TextOps {
       "digit_ratio" -> ratio("[0-9]"))
   }
 
-  /** Marker-word counts for one language: occurrences of ` word ` in
-    * ' '+lower(text)+' ' via literal replace (regex-free: byte-identical
-    * between engines). */
+  /** Marker-word counts for one language: occurrences of ` word ` in the
+    * padded text via literal replace (regex-free: byte-identical between
+    * engines). The padding doubles every space first — adjacent
+    * occurrences ("the the the") would otherwise share boundary spaces
+    * and a non-overlapping replace would undercount them. */
   private def markerHits(padded: Column, words: Seq[String]): Column =
     words.map { w =>
       val m = s" $w "
@@ -41,7 +45,8 @@ object TextOps {
   /** n-gram-heuristic language id: en/de/fr stopword hit counts + argmax.
     * Adds (en_hits, de_hits, fr_hits, lang_guess). */
   def withLangGuess(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val padded = df.withColumn(paddedName, concat(lit(" "), lower(col(textCol)), lit(" ")))
+    val padded = df.withColumn(paddedName,
+      concat(lit(" "), replace(lower(col(textCol)), lit(" "), lit("  ")), lit(" ")))
     padded
       .withColumn("en_hits", markerHits(col(paddedName), Seq("the", "and", "of")))
       .withColumn("de_hits", markerHits(col(paddedName), Seq("der", "und", "die")))

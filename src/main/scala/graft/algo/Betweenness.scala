@@ -24,7 +24,13 @@ object Betweenness {
     val spark = g.spark
     import spark.implicits._
     val sc = spark.sparkContext
-    val nodes = g.nodes.as[(Long, String)].collect().sortBy(_._1)
+    // bound the node collect too (checkEdges below covers only edges: a
+    // graph of mostly isolated nodes could still OOM the driver here);
+    // select the two columns explicitly — typed/property graphs carry
+    // extra node columns that would break the Tuple2 encoder
+    graft.bsp.DriverGuard.check(g, "Betweenness.run", g.nodeCount,
+      "sample fewer sources on a subgraph; exact Brandes collects the node table")
+    val nodes = g.nodes.select($"vid", $"name").as[(Long, String)].collect().sortBy(_._1)
     val n = nodes.length
     if (n == 0) return spark.emptyDataset[(Long, String, Double)].toDF("vid", "name", "value")
     val idx = nodes.map(_._1).zipWithIndex.toMap
@@ -117,7 +123,9 @@ object Betweenness {
       }, depth = 2)
     bcOff.destroy(); bcTgt.destroy()
 
-    val factor = if (normalized) 1.0 / ((n - 1.0) * (n - 2.0)) else 1.0
+    // n <= 2: every betweenness is 0 and the 1/((n-1)(n-2)) factor would
+    // be Inf/NaN — 0 * Inf = NaN poisons the result column
+    val factor = if (normalized && n > 2) 1.0 / ((n - 1.0) * (n - 2.0)) else 1.0
     val rows = nodes.indices.map(i => (nodes(i)._1, nodes(i)._2, betweenness(i) * factor))
     spark.createDataset(rows).toDF("vid", "name", "value")
   }

@@ -25,8 +25,11 @@ object BipartiteProjection {
   def project(g: LinkGraph, pivotVids: DataFrame, delta: Long): DataFrame = {
     val p = pivotVids.select(col("vid").as("pivot"))
     // incident exploded events of each pivot: (pivot, nbr, ts, seq)
-    val visits = g.edges.select(col("dst").as("pivot"), col("src").as("nbr"), col("ts"), col("seq"))
-      .union(g.edges.select(col("src").as("pivot"), col("dst").as("nbr"), col("ts"), col("seq")))
+    // drop self-loop EVENTS first: a (v, v) event would enter the union
+    // twice (once per side) and duplicate every projected edge it forms
+    val e = g.edges.filter(col("src") =!= col("dst"))
+    val visits = e.select(col("dst").as("pivot"), col("src").as("nbr"), col("ts"), col("seq"))
+      .union(e.select(col("src").as("pivot"), col("dst").as("nbr"), col("ts"), col("seq")))
       .join(p, Seq("pivot"), "left_semi")
     val a = visits.select(col("pivot"), col("nbr").as("src_nbr"), col("ts").as("ta"), col("seq").as("sa"))
     val b = visits.select(col("pivot"), col("nbr").as("dst_nbr"), col("ts").as("tb"), col("seq").as("sb"))

@@ -15,6 +15,11 @@ object KCore {
   def coreSet(g: LinkGraph, k: Int, iterCount: Long = Long.MaxValue): DataFrame = {
     val spark = g.spark
     import spark.implicits._
+    // k <= 0: the 0-core is every node. The peel loop below recomputes
+    // degree from surviving PAIRS, which has no row for isolated nodes —
+    // without this early return they would be wrongly dropped
+    if (k <= 0) return g.nodes.select($"vid")
+    graft.bsp.IterativeConf.withStablePartitioning(spark) {
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = g.undirectedPairs.repartition(p, $"a").persist(StorageLevel.MEMORY_AND_DISK)
     pairs.count()
@@ -38,5 +43,6 @@ object KCore {
     }
     pairs.unpersist()
     alive
+    }
   }
 }

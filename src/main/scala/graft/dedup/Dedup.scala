@@ -233,7 +233,9 @@ object Dedup {
     val maxPairs = spark.conf.getOption("graft.dedup.maxPairs").map(_.toLong)
       .getOrElse(DefaultMaxPairs)
     val n = emb.count()
-    val pairs = n * (n - 1) / 2
+    // n*(n-1)/2 overflows Long past ~3e9 rows and would silently BYPASS
+    // the guard; compare against the bound without the full product
+    val pairs = if (n > 3000000000L) Long.MaxValue else n * (n - 1) / 2
     if (pairs > maxPairs)
       throw new IllegalStateException(
         s"Dedup.embeddingNearDups is the all-pairs BASELINE and would compute $pairs " +

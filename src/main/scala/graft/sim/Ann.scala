@@ -28,24 +28,34 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Exact top-k neighbours for each query id: (query_id, rank,
-    * neighbor_id, sim). Deterministic tie-break on neighbor id. */
-  def bruteForceTopK(emb: DataFrame, queryIds: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding",
-                     roundTo: Int = 4): DataFrame = {
-    graft.functions.VectorFunctions.register(emb.sparkSession)
-    val v = emb.select(col(idCol), toD(col(vecCol)).as("v"))
-    val q = v.join(queryIds.withColumnRenamed(queryIds.columns.head, idCol), Seq(idCol))
-      .select(col(idCol).as("query_id"), col("v").as("qv"))
-    val c = v.select(col(idCol).as("neighbor_id"), col("v").as("cv"))
-    val sims = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
+  /** Shared top-k tail: rank per query by (sim desc, neighbor asc) and cut
+    * at k — one contract for the brute-force, LSH and IVF paths. */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
     sims.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Exact top-k neighbours for each query id: (query_id, rank,
+    * neighbor_id, sim). Deterministic tie-break on neighbor id. Vector
+    * norms are computed ONCE per row (n, not n·candidates, sqrt(dot(v,v))
+    * evaluations — same trick as Dedup.normedVectors; dot/(nq*nc) is
+    * bit-identical to the unfactored cosine). */
+  def bruteForceTopK(emb: DataFrame, queryIds: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     roundTo: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val v = emb.select(col(idCol), toD(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val q = v.join(queryIds.withColumnRenamed(queryIds.columns.head, idCol), Seq(idCol))
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val c = v.select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("n").as("cn"))
+    val sims = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("sim"))
+    rankTopK(sims, k)
   }
 
   /** Deterministic hyperplane weight for (plane, dim): first 8 md5 hex
@@ -101,10 +111,11 @@ object Ann {
 
   /** Approximate top-k: exact cosine ranking restricted to bucket-matched
     * candidates. Two recall levers, both with bounded fan-out
-    * (tables · (1 + planes·multiProbe) probe buckets per query):
+    * (tables · (1 + Σ_{r<=multiProbe} C(planes, r)) probe buckets/query):
     *
     *  - `multiProbe` — Hamming radius probed per table (1 adds the
-    *    single-bit-flip buckets);
+    *    single-bit-flip buckets, 2 also the two-bit flips; capped at 2 —
+    *    higher radii explode fan-out, raise `tables` instead);
     *  - `tables` — independent hash tables (the standard sign-LSH recall
     *    amplification: hit prob 1-(1-p^planes)^tables for per-plane
     *    agreement p). Fewer planes + more tables raises recall at the cost
@@ -118,27 +129,31 @@ object Ann {
   def annTopK(emb: DataFrame, queryIds: DataFrame, k: Int, planes: Int = 12,
               idCol: String = "vec_id", vecCol: String = "embedding",
               roundTo: Int = 4, multiProbe: Int = 1, tables: Int = 1): DataFrame = {
+    // the probe set is every XOR mask of Hamming weight <= multiProbe —
+    // the radius the doc promises. Radius > 2 explodes fan-out
+    // (C(planes, r) masks); raise `tables` instead
+    require(multiProbe >= 0 && multiProbe <= 2,
+      s"multiProbe is a Hamming radius, supported 0..2 (got $multiProbe) — raise tables for recall")
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val buckets = lshTableBuckets(emb, planes, tables, idCol, vecCol)
-    val v = emb.select(col(idCol), toD(col(vecCol)).as("v")).join(buckets, Seq(idCol))
-    val probeCols: Seq[Column] = col("bucket") +: (
-      if (multiProbe >= 1) (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
-      else Seq.empty)
+    val v = emb.select(col(idCol), toD(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .join(buckets, Seq(idCol))
+    val masks: Seq[Long] = (1 to math.min(multiProbe, planes)).flatMap(r =>
+      (0 until planes).combinations(r).map(_.map(j => 1L << j).reduce(_ | _)).toSeq)
+    val probeCols: Seq[Column] =
+      col("bucket") +: masks.map(m => col("bucket").bitwiseXOR(lit(m)))
     val q = v.join(queryIds.withColumnRenamed(queryIds.columns.head, idCol), Seq(idCol))
-      .select(col(idCol).as("query_id"), col("v").as("qv"), col("table"),
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("n").as("qn"), col("table"),
         explode(array(probeCols: _*)).as("bucket"))
-    val c = v.select(col(idCol).as("neighbor_id"), col("v").as("cv"),
+    val c = v.select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("n").as("cn"),
       col("table"), col("bucket"))
     val sims = q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("sim"))
       .distinct() // a pair can meet through several tables / probe buckets
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    rankTopK(sims, k)
   }
 
   // ── IVF (inverted-file) ANN ────────────────────────────────────────────
@@ -251,6 +266,7 @@ object Ann {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val asg = ivfAssignments(emb, cents, idCol, vecCol)
     val v = emb.select(col(idCol), toD(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
     // zip the ONE scores array with centroid indices — embedding the full
     // score array once per centroid instead would build an O(nlist²)
     // expression tree (the same blow-up class as the pre-r4 LSH plane
@@ -264,17 +280,15 @@ object Ann {
         .otherwise((l.getField("cid") - r.getField("cid")).cast("int")))
     val q = emb.join(queryIds.withColumnRenamed(queryIds.columns.head, idCol), Seq(idCol))
       .select(col(idCol).as("query_id"), toD(col(vecCol)).as("qv"),
+        sqrt(dot(toD(col(vecCol)), toD(col(vecCol)))).as("qn"),
         explode(transform(slice(scored, 1, nprobe), s => s.getField("cid"))).as("list_id"))
     val c = v.join(asg, idCol)
-      .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("list_id"))
+      .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("n").as("cn"),
+        col("list_id"))
     val sims = q.join(c, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("sim"))
+    rankTopK(sims, k)
   }
 }

@@ -35,37 +35,15 @@ object Betweenness {
     if (n == 0) return spark.emptyDataset[(Long, String, Double)].toDF("vid", "name", "value")
     val idx = nodes.map(_._1).zipWithIndex.toMap
 
-    // compact CSR out-adjacency (distinct neighbours), broadcast once.
-    // The edge table is packed EXECUTOR-side into one primitive
-    // Array[Long] per partition ((srcIdx << 32) | dstIdx) so the driver
-    // receives dense 8-byte/edge blocks, not boxed row objects — and only
-    // after a fail-fast bound check (the broadcast-CSR regime requires
-    // the graph to fit executor memory anyway; past the bound the
-    // standard recourse is a smaller source sample on a subgraph).
+    // compact CSR out-adjacency (distinct neighbours), executor-packed
+    // (BroadcastCsr — dense 8-byte/edge blocks, not boxed rows) and
+    // broadcast once — only after a fail-fast bound check (the
+    // broadcast-CSR regime requires the graph to fit executor memory
+    // anyway; past the bound the standard recourse is a smaller source
+    // sample on a subgraph).
     graft.bsp.DriverGuard.check(g, "Betweenness.run", g.edgeCount,
       "sample fewer sources on a subgraph; exact Brandes needs the broadcast CSR")
-    val bcIdx = sc.broadcast(idx)
-    val blocks = g.dedupEdges.as[(Long, Long)].rdd.mapPartitions { it =>
-      val m = bcIdx.value
-      val buf = new scala.collection.mutable.ArrayBuilder.ofLong
-      it.foreach { case (s, d) => buf += (m(s).toLong << 32) | (m(d).toLong & 0xffffffffL) }
-      Iterator(buf.result())
-    }.collect()
-    bcIdx.destroy()
-    val mEdges = blocks.iterator.map(_.length).sum
-    val packed = new Array[Long](mEdges)
-    var off = 0
-    blocks.foreach { a => System.arraycopy(a, 0, packed, off, a.length); off += a.length }
-    // srcIdx rides the high 32 bits, so a primitive sort IS the CSR order
-    java.util.Arrays.sort(packed)
-    val offsets = new Array[Int](n + 1)
-    var i = 0
-    while (i < mEdges) { offsets(((packed(i) >>> 32) + 1).toInt) += 1; i += 1 }
-    i = 1
-    while (i <= n) { offsets(i) += offsets(i - 1); i += 1 }
-    val targets = new Array[Int](mEdges)
-    i = 0
-    while (i < mEdges) { targets(i) = (packed(i) & 0xffffffffL).toInt; i += 1 }
+    val (offsets, targets) = BroadcastCsr.pack(g, idx, n, swap = false)
     val bcOff = sc.broadcast(offsets)
     val bcTgt = sc.broadcast(targets)
 

@@ -21,9 +21,10 @@ import graft.graph.LinkGraph
   *    one node (components/in_components.rs:106, out_components.rs:109) as
   *    distributed iterative frontier semi-joins.
   *  - `inComponents` / `outComponents` — per-node ancestor/descendant sets
-  *    for all nodes (in_components.rs:36-105). Output is O(n²) — driver
-  *    bounded; intended for small (sub)graphs, like the reference's
-  *    single-process BFS-per-node.
+  *    for all nodes (in_components.rs:36-105). Output is O(n²) — guard
+  *    bounded like the reference's single-process BFS-per-node, but the
+  *    per-source traversals fan out across executors over a broadcast CSR
+  *    (Betweenness's shape) instead of looping on the driver.
   */
 object Components {
 
@@ -254,22 +255,51 @@ object Components {
       "inComponentOf/outComponentOf per node (distributed frontier joins); the all-nodes output is O(n^2) regardless")
     val spark = g.spark
     import spark.implicits._
-    val edges0 = g.dedupEdges.as[(Long, Long)].collect()
-    val edges = if (dir == "out") edges0 else edges0.map(_.swap)
-    val nodes = g.nodes.as[(Long, String)].collect().sortBy(_._1)
-    val idx = nodes.map(_._1).zipWithIndex.toMap
+    val sc = spark.sparkContext
+    val nodes = g.nodes.select($"vid", $"name").as[(Long, String)].collect().sortBy(_._1)
     val n = nodes.length
-    val adj = Array.fill(n)(List.empty[Int])
-    edges.foreach { case (s, d) => adj(idx(s)) = idx(d) :: adj(idx(s)) }
-    val rows = nodes.indices.map { i =>
-      val seen = new Array[Boolean](n)
-      var stack = adj(i)
-      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-      while (stack.nonEmpty) {
-        val v = stack.head; stack = stack.tail
-        if (!seen(v)) { seen(v) = true; out += v; stack = adj(v) ::: stack }
+    if (n == 0)
+      return spark.emptyDataset[(Long, String, Seq[String])].toDF("vid", "name", "members")
+    val idx = nodes.map(_._1).zipWithIndex.toMap
+    // per-source reachability is embarrassingly parallel: sources fan out
+    // as an RDD over a broadcast compact CSR (Betweenness's shape), each
+    // partition reusing one seen[] reset in O(|previous component|). The
+    // member arrays never gather on the driver — the result stays a
+    // distributed DataFrame (the O(n^2) output regime is what the guard
+    // above bounds).
+    val (offsets, targets) = BroadcastCsr.pack(g, idx, n, swap = dir != "out")
+    val bcOff = sc.broadcast(offsets)
+    val bcTgt = sc.broadcast(targets)
+    val bcNodes = sc.broadcast(nodes)
+    val slices = math.min(n, math.max(1, sc.defaultParallelism * 2))
+    val rows = sc.parallelize(0 until n, slices).mapPartitions { srcs =>
+      val off = bcOff.value
+      val tgt = bcTgt.value
+      val nds = bcNodes.value
+      val seen = new Array[Boolean](off.length - 1)
+      val touched = new scala.collection.mutable.ArrayBuffer[Int]
+      val stack = new scala.collection.mutable.ArrayBuffer[Int]
+      srcs.map { i =>
+        var t = 0
+        while (t < touched.length) { seen(touched(t)) = false; t += 1 }
+        touched.clear()
+        stack.clear()
+        // the source joins its own member set only via a cycle (reference
+        // out_components.rs): seed the stack with i's neighbours, never
+        // pre-mark i itself
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var e = off(i)
+        while (e < off(i + 1)) { stack += tgt(e); e += 1 }
+        while (stack.nonEmpty) {
+          val v = stack.remove(stack.length - 1)
+          if (!seen(v)) {
+            seen(v) = true; touched += v; out += v
+            var k = off(v)
+            while (k < off(v + 1)) { stack += tgt(k); k += 1 }
+          }
+        }
+        (nds(i)._1, nds(i)._2, out.sorted.map(j => nds(j)._2).toSeq)
       }
-      (nodes(i)._1, nodes(i)._2, out.sorted.map(j => nodes(j)._2).toSeq)
     }
     spark.createDataset(rows).toDF("vid", "name", "members")
   }

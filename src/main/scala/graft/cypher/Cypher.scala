@@ -27,9 +27,9 @@ import graft.graph.LinkGraph
   *    length(e)/size(e). The reference grammar parses RangeLiteral
   *    (cypher.pest:203) but its transpiler never executes it; we require
   *    a finite upper bound n <= 8 (unbounded closure belongs to
-  *    Components.reach). Limitation: a var-length path's internal events
-  *    are NOT uniqueness-checked against OTHER edge variables of the
-  *    same MATCH — only single-edge variables cross-check pairwise;
+  *    Components.reach). A path's internal events also cross-check
+  *    against every other edge variable and path of the same MATCH
+  *    (array-membership / array-overlap on the accumulated event ids);
   *  - multi-part queries: WITH [DISTINCT] items [ORDER BY] [LIMIT]
   *    [WHERE] chaining into further MATCH/UNWIND parts, and
   *    UNWIND <list> AS x (grammar raphtory-cypher/src/parser/
@@ -521,9 +521,12 @@ object Cypher {
         else if (pat.leftToRight) fwd
         else base.select(col("dst").as("a"), col("src").as("b"), eid.as("eid"))
       var paths = hop.select(col("a"), col("b"), array(col("eid")).as("eids"))
+      // the accumulated event-id list rides along as `<ev>__eids` so the
+      // MATCH-level uniqueness pass can cross-check paths against other
+      // edge variables; it is dropped once those filters are applied
       def branch(k: Int, p: DataFrame): DataFrame =
         p.select(col("a").as(s"${ev}__a"), col("b").as(s"${ev}__b"),
-          lit(k.toLong).as(s"${ev}_len"))
+          lit(k.toLong).as(s"${ev}_len"), col("eids").as(s"${ev}__eids"))
       val branches = Seq.newBuilder[DataFrame]
       if (lo <= 1) branches += branch(1, paths)
       for (k <- 2 to hi) {
@@ -685,9 +688,10 @@ object Cypher {
       val chains = part.chains.map(ch =>
         Chain(namedNp(ch.first), ch.hops.map { case (e, n) => (e, namedNp(n)) }))
 
-      // edge variables assembled by THIS match part (for the pairwise
-      // relationship-uniqueness filters below)
+      // edge + var-length path variables assembled by THIS match part
+      // (for the pairwise relationship-uniqueness filters below)
       val partEdges = Seq.newBuilder[String]
+      val partPaths = Seq.newBuilder[String]
 
       for (ch <- chains) {
         if (ch.hops.isEmpty) {
@@ -722,6 +726,7 @@ object Cypher {
                   "(unbounded closure = Components.reach / inComponentOf)"))
               require(rLo >= 1 && rHi >= rLo && rHi <= 8,
                 s"variable-length bounds must satisfy 1 <= m <= n <= 8, got *$rLo..$rHi")
+              partPaths += ev
             } else partEdges += ev
             // the columns the chain's left/right nodes bind to: storage
             // src/dst for directed arrows, the orientation-exploded __a/__b
@@ -767,6 +772,20 @@ object Cypher {
           .map(c => col(s"${e1}_$c") === col(s"${e2}_$c")).reduce(_ && _)
         acc = acc.filter(!same)
       }
+      // var-length paths cross-check too: none of a path's internal events
+      // may bind a single-edge variable of the same MATCH, and two paths
+      // may not share an event (field names aligned with pathFrame's eid
+      // struct so the array membership tests type-check)
+      val pathsU = partPaths.result()
+      def eidOf(e: String): Column = struct(
+        col(s"${e}_src").as("src"), col(s"${e}_dst").as("dst"),
+        col(s"${e}_ts").as("ts"), col(s"${e}_seq").as("seq"),
+        col(s"${e}_layer").as("layer"))
+      for (p <- pathsU; e <- uniq)
+        acc = acc.filter(!array_contains(col(s"${p}__eids"), eidOf(e)))
+      for (i <- pathsU.indices; j <- (i + 1) until pathsU.length)
+        acc = acc.filter(!arrays_overlap(col(s"${pathsU(i)}__eids"), col(s"${pathsU(j)}__eids")))
+      if (pathsU.nonEmpty) acc = acc.drop(pathsU.map(p => s"${p}__eids"): _*)
 
       // node labels / property maps
       for (ch <- chains; np <- ch.first +: ch.hops.map(_._2); v <- np.v) {

@@ -493,9 +493,31 @@ class CypherSpec extends AnyFunSuite {
   }
 
   test("var-length chains into a further single hop on the bound node") {
-    // sum over 2-hop paths of outdeg(end) = 16 (hand-enumerated)
+    // sum over 2-hop paths of outdeg(end) = 16, minus the two pairs where
+    // f re-binds an event already on the path (E3E6→0 with f=E3 and
+    // E6E3→2 with f=E6): MATCH-wide relationship uniqueness covers path
+    // internals too
     assert(Cypher.run(g, "MATCH (a)-[p*2]->(b)-[f]->(c) RETURN count(*) AS n")
-      .head().getLong(0) == 16L)
+      .head().getLong(0) == 14L)
+  }
+
+  test("path events cross-check against single-edge variables of the MATCH") {
+    // unconstrained cross product: 6 one-hop paths x 6 events minus the 6
+    // same-event bindings
+    assert(Cypher.run(g,
+      "MATCH (a)-[p*1..1]->(b), (c)-[f]->(d) RETURN count(*) AS n")
+      .head().getLong(0) == 30L)
+    // 16 paths (6 one-hop + 10 two-hop) x 6 events, minus 6 one-hop
+    // same-event pairs and 10*2 two-hop containment pairs
+    assert(Cypher.run(g,
+      "MATCH (a)-[p*1..2]->(b), (c)-[f]->(d) RETURN count(*) AS n")
+      .head().getLong(0) == 70L)
+  }
+
+  test("two var-length paths of one MATCH may not share an event") {
+    assert(Cypher.run(g,
+      "MATCH (a)-[p*1..1]->(b), (c)-[q*1..1]->(d) RETURN count(*) AS n")
+      .head().getLong(0) == 30L)
   }
 
   test("unbounded / zero-length / bare-var-ref var-length forms are rejected") {

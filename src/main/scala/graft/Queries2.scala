@@ -489,6 +489,12 @@ object Queries2 {
       val docs = tbl(s, d, "documents")
       Dedup.jaccardVerify(lshCands(s, d), TextOps.charShingles(docs, "doc_id", "text", 5))
     }),
+    // near-dup groups → canonical-copy selection (keep one per cluster):
+    // verified LSH pairs, HashMin label supersteps, cluster = min doc id
+    "d_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(tbl(s, d, "documents"), 0.7)
+        .select(col("id").as("doc_id"), col("cluster"),
+          col("keep").cast("long").as("keep"))),
     "d_simhash" -> ((s, d) => Dedup.simhash(tbl(s, d, "documents"))),
     // embedding-cosine near-dup baseline (cross product; the scale path is
     // the bucketed sim.Ann family). Threshold 0.3 sits >=5.9e-7 away from
@@ -1268,6 +1274,7 @@ object Queries2 {
     "d_lsh_candidates" -> lshCandSql(withJaccard = false),
     "d_lsh_capped" -> lshCandSql(withJaccard = false, maxBucketSize = 3L),
     "d_minhash_jaccard" -> lshCandSql(withJaccard = true),
+    "d_dup_clusters" -> dupClustersSql,
     "d_simhash" -> simhashSql,
     // cross-product cosine pairs; filter on the UNROUNDED cosine like the
     // Spark side, round only for output
@@ -1481,7 +1488,9 @@ object Queries2 {
        |)""".stripMargin
   }
 
-  private def lshCandSql(withJaccard: Boolean, maxBucketSize: Long = 0L): String = {
+  /** CTE list (sh, sig, bnd, cand — no leading WITH) shared by the LSH
+    * candidate/jaccard/cluster oracles. */
+  private def lshCandCtes(maxBucketSize: Long): String = {
     // with a cap, pair only inside buckets of <= maxBucketSize members
     // (mirrors Dedup.lshCandidates's hot-bucket guard)
     val pairSrc =
@@ -1491,29 +1500,35 @@ object Queries2 {
            |   JOIN (SELECT band, bucket FROM bnd GROUP BY band, bucket
            |         HAVING count(*) <= $maxBucketSize) z
            |   USING (band, bucket))""".stripMargin
-    val base =
-      s"""WITH $minhashShSql,
-         |${minhashSigSql(16)},
-         |bnd AS (
-         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-         |    md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed || ':' || minhash)) AS bucket
-         |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
-         |),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM $pairSrc l JOIN $pairSrc r ON l.band = r.band AND l.bucket = r.bucket
-         |  WHERE l.doc_id < r.doc_id
-         |)""".stripMargin
+    s"""$minhashShSql,
+       |${minhashSigSql(16)},
+       |bnd AS (
+       |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+       |    md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed || ':' || minhash)) AS bucket
+       |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM $pairSrc l JOIN $pairSrc r ON l.band = r.band AND l.bucket = r.bucket
+       |  WHERE l.doc_id < r.doc_id
+       |)""".stripMargin
+  }
+
+  /** Shingle-size + candidate-intersection CTEs feeding the Jaccard formula. */
+  private val jaccardCtes: String =
+    """szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.a, c.b, count(*) AS i FROM cand c
+      |  JOIN sh s1 ON s1.doc_id = c.a
+      |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+      |  GROUP BY c.a, c.b
+      |)""".stripMargin
+
+  private def lshCandSql(withJaccard: Boolean, maxBucketSize: Long = 0L): String = {
+    val base = "WITH " + lshCandCtes(maxBucketSize)
     if (!withJaccard) base + "\nSELECT a, b FROM cand"
-    else base +
-      """,
-        |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.a, c.b, count(*) AS i FROM cand c
-        |  JOIN sh s1 ON s1.doc_id = c.a
-        |  JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
-        |  GROUP BY c.a, c.b
-        |)
+    else base + ",\n" + jaccardCtes +
+      """
         |SELECT c.a, c.b,
         |  round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
         |FROM cand c
@@ -1521,6 +1536,34 @@ object Queries2 {
         |JOIN szs sa ON sa.doc_id = c.a
         |JOIN szs sb ON sb.doc_id = c.b""".stripMargin
   }
+
+  /** Dup-cluster canonicalization oracle: replay the verified near-dup
+    * pairs (Jaccard >= 0.7, same formula as d_minhash_jaccard), then a
+    * recursive min-label reach over the undirected pair graph — every doc
+    * starts as its own label, labels flow along verified pairs, cluster =
+    * min reached label (crawl_wcc_sizes's reach shape); the cluster
+    * minimum is the kept canonical copy. */
+  private def dupClustersSql: String =
+    "WITH RECURSIVE " + lshCandCtes(0L) + ",\n" + jaccardCtes +
+      """,
+        |ver AS (
+        |  SELECT c.a, c.b
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        |  JOIN szs sa ON sa.doc_id = c.a
+        |  JOIN szs sb ON sb.doc_id = c.b
+        |  WHERE round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.7
+        |),
+        |und AS (SELECT a, b FROM ver UNION ALL SELECT b AS a, a AS b FROM ver),
+        |reach(id, c) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.b, r.c FROM reach r JOIN und u ON u.a = r.id
+        |),
+        |comp AS (SELECT id, min(c) AS cluster FROM reach GROUP BY id)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(cluster AS BIGINT) AS cluster,
+        |  CAST(CASE WHEN id = cluster THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM comp""".stripMargin
 
   /** 32-bit SimHash in portable SQL (generated bit expressions). */
   private def simhashSql: String = {

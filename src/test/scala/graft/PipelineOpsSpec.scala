@@ -39,6 +39,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!nd.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("dupClusters: near-dup group collapses to min doc id, singletons keep themselves") {
+    val rows = Dedup.dupClusters(docs, threshold = 0.5).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("cluster"), r.getAs[Boolean]("keep"))).toMap
+    assert(rows.size == 7)
+    // 0/1 identical, 3 near — one cluster labelled by the minimum member
+    assert(rows(0L)._1 == 0L && rows(1L)._1 == 0L && rows(3L)._1 == 0L)
+    assert(rows(0L)._2 && !rows(1L)._2 && !rows(3L)._2)
+    // unrelated docs are their own singleton clusters and are kept
+    for (i <- Seq(4L, 5L, 6L)) assert(rows(i) == (i, true))
+    // exactly one canonical copy per cluster
+    val perCluster = rows.values.groupBy(_._1).map { case (c, vs) => c -> vs.count(_._2) }
+    assert(perCluster.values.forall(_ == 1))
+  }
+
   test("simhash: identical texts equal, near texts close, different far") {
     val sh = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

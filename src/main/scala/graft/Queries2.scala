@@ -157,6 +157,22 @@ object Queries2 {
       c
     })
 
+  /** Jaccard-verified candidate pairs (unfiltered scores) memoized per
+    * (session, sfDir): d_minhash_jaccard returns them, d_dup_clusters
+    * filters them at the 0.7 threshold — one shingle-join verify per
+    * session. */
+  private val jaccardCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def lshJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardCache.getOrElseUpdate((s, d), {
+      val j = Dedup.jaccardVerify(lshCands(s, d),
+          TextOps.charShingles(tbl(s, d, "documents"), "doc_id", "text", 5))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      j.count()
+      j
+    })
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_scc" -> ((s, d) =>
       Components.scc(graph(s, d))
@@ -485,14 +501,15 @@ object Queries2 {
     // than 3 members (boilerplate pile-ups) are dropped before pairing
     "d_lsh_capped" -> ((s, d) =>
       Dedup.lshCandidates(lshBuckets(s, d), maxBucketSize = 3L)),
-    "d_minhash_jaccard" -> ((s, d) => {
-      val docs = tbl(s, d, "documents")
-      Dedup.jaccardVerify(lshCands(s, d), TextOps.charShingles(docs, "doc_id", "text", 5))
-    }),
+    "d_minhash_jaccard" -> ((s, d) => lshJaccard(s, d)),
     // near-dup groups → canonical-copy selection (keep one per cluster):
-    // verified LSH pairs, HashMin label supersteps, cluster = min doc id
+    // verified LSH pairs (reusing the memoized bucket computation shared
+    // with d_lsh_candidates/d_minhash_jaccard), HashMin label supersteps,
+    // cluster = min doc id
     "d_dup_clusters" -> ((s, d) =>
-      Dedup.dupClusters(tbl(s, d, "documents"), 0.7)
+      Dedup.clustersFromPairs(
+          tbl(s, d, "documents").select(col("doc_id").as("id")),
+          lshJaccard(s, d).filter(col("jaccard") >= 0.7))
         .select(col("id").as("doc_id"), col("cluster"),
           col("keep").cast("long").as("keep"))),
     "d_simhash" -> ((s, d) => Dedup.simhash(tbl(s, d, "documents"))),

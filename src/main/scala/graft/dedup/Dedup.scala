@@ -187,19 +187,28 @@ object Dedup {
                   idCol: String = "doc_id", textCol: String = "text",
                   nHashes: Int = 16, bands: Int = 4, shingleN: Int = 5,
                   maxBucketSize: Long = 0L,
-                  ctx: graft.bsp.RunContext = graft.bsp.RunContext.none): DataFrame = {
-    val spark = docs.sparkSession
+                  ctx: graft.bsp.RunContext = graft.bsp.RunContext.none): DataFrame =
+    clustersFromPairs(docs.select(col(idCol).as("id")),
+      minhashNearDups(docs, threshold, idCol, textCol, nHashes, bands,
+        shingleN, maxBucketSize).select(col("a"), col("b")), ctx)
+
+  /** The label-propagation core of [[dupClusters]], reusable with any
+    * verified dup-pair table (`(a, b)` — e.g. memoized LSH candidates
+    * post-Jaccard, or IVF-cell embedding pairs): ids not in any pair stay
+    * singleton clusters. */
+  def clustersFromPairs(ids: DataFrame, dupPairs: DataFrame,
+                        ctx: graft.bsp.RunContext = graft.bsp.RunContext.none): DataFrame = {
+    val spark = ids.sparkSession
     graft.bsp.IterativeConf.withStablePartitioning(spark) {
       val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val dup = minhashNearDups(docs, threshold, idCol, textCol, nHashes, bands,
-        shingleN, maxBucketSize).select(col("a"), col("b"))
+      val dup = dupPairs.select(col("a"), col("b"))
       val pairs = dup.union(dup.select(col("b").as("a"), col("a").as("b")))
         .repartition(p, col("a")).sortWithinPartitions(col("a"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairCount = pairs.count()
 
       val nbrMin = pairs.groupBy(col("a")).agg(min(col("b")).as("nbr_min"))
-      val init = docs.select(col(idCol).as("id"))
+      val init = ids.select(col("id"))
         .join(nbrMin, col("id") === col("a"), "left")
         .select(col("id"), least(col("id"), coalesce(col("nbr_min"), col("id"))).as("cluster"))
       var state = ctx.restoreOrInit(init.repartition(p, col("id")))

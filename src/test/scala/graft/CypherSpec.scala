@@ -520,6 +520,50 @@ class CypherSpec extends AnyFunSuite {
       .head().getLong(0) == 30L)
   }
 
+  test("var-length paths: differential vs brute-force enumeration on random multigraphs") {
+    // seeded random multigraphs (parallel edges + self-loops); the
+    // k-hop-join-union plan must agree with a driver DFS that enumerates
+    // directed event paths with within-path relationship uniqueness
+    for (seed <- Seq(3, 99)) {
+      val r = new scala.util.Random(seed)
+      val edges = (0 until 12).map { i =>
+        (r.nextInt(5).toLong, r.nextInt(5).toLong, (i + 1).toLong, i.toLong,
+          if (r.nextBoolean()) "a" else "b", 1.0 + i)
+      }
+      val eDf = edges.toDF("src", "dst", "ts", "seq", "layer", "weight")
+      val nDf = (0 until 5).map(i => (i.toLong, s"v$i")).toDF("vid", "name")
+      val rg = new LinkGraph(eDf, nDf, namesAreNumeric = false)
+
+      def paths(lo: Int, hi: Int): Seq[List[Int]] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[List[Int]]
+        def extend(path: List[Int], end: Long): Unit = {
+          if (path.length >= lo) out += path
+          if (path.length < hi) edges.indices.foreach { j =>
+            if (edges(j)._1 == end && !path.contains(j)) extend(j :: path, edges(j)._2)
+          }
+        }
+        edges.indices.foreach(i => extend(List(i), edges(i)._2))
+        out.toSeq
+      }
+
+      val bf13 = paths(1, 3)
+      assert(Cypher.run(rg, "MATCH (a)-[p*1..3]->(b) RETURN count(*) AS n")
+        .head().getLong(0) == bf13.size.toLong, s"seed $seed total")
+      val hist = Cypher.run(rg,
+        "MATCH (a)-[p*1..3]->(b) RETURN length(p) AS l, count(*) AS n")
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      val bfHist = bf13.groupBy(_.length.toLong).map { case (k, v) => k -> v.size.toLong }
+      assert(hist == bfHist, s"seed $seed histogram")
+      // MATCH-wide uniqueness vs an unconstrained single-edge variable:
+      // every event NOT on the path may bind f
+      val bf12 = paths(1, 2)
+      val expectedPairs = bf12.map(p => edges.length - p.length).sum.toLong
+      assert(Cypher.run(rg,
+        "MATCH (a)-[p*1..2]->(b), (c)-[f]->(d) RETURN count(*) AS n")
+        .head().getLong(0) == expectedPairs, s"seed $seed cross-check")
+    }
+  }
+
   test("unbounded / zero-length / bare-var-ref var-length forms are rejected") {
     intercept[IllegalArgumentException] {
       Cypher.run(g, "MATCH (a)-[*]->(b) RETURN count(*) AS n")

@@ -53,6 +53,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(perCluster.values.forall(_ == 1))
   }
 
+  test("clustersFromPairs: differential vs union-find on random pair graphs") {
+    // seeded random pair sets over 20 ids; expected clusters from a plain
+    // driver union-find with min-member labels — the HashMin superstep
+    // loop must agree exactly (labels, keep flags, singleton handling)
+    for (seed <- Seq(7, 42, 1234)) {
+      val r = new scala.util.Random(seed)
+      val n = 20
+      val pairSet = (0 until 25).map { _ =>
+        val a = r.nextInt(n); val b = r.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairSet.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val minOf = (0 until n).groupBy(find).map { case (root, ms) => root -> ms.min.toLong }
+      val expected = (0 until n).map(i => i.toLong -> minOf(find(i))).toMap
+
+      val ids = (0 until n).map(_.toLong).toDF("id")
+      val got = Dedup.clustersFromPairs(ids, pairSet.toDF("a", "b")).collect()
+        .map(row => row.getAs[Long]("id") ->
+          (row.getAs[Long]("cluster"), row.getAs[Boolean]("keep"))).toMap
+      assert(got.size == n, s"seed $seed")
+      for (i <- 0 until n) {
+        assert(got(i.toLong)._1 == expected(i.toLong), s"seed $seed id $i")
+        assert(got(i.toLong)._2 == (i.toLong == expected(i.toLong)), s"seed $seed id $i keep")
+      }
+    }
+  }
+
   test("simhash: identical texts equal, near texts close, different far") {
     val sh = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

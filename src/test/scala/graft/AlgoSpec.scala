@@ -215,6 +215,69 @@ class AlgoSpec extends AnyFunSuite {
     assert(got("6") != got("5") && got("1") != got("4"))
   }
 
+  test("SCC: differential vs driver Tarjan on random digraphs, both residual modes") {
+    // deterministic LCG digraphs; the trim + FW-BW + residual pipeline must
+    // produce the exact Tarjan partition both with the default driver-bound
+    // residual and with the bound forced to 10 (all-distributed FW-BW)
+    var st = 777L
+    def nxt(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st >>> 33 }
+    for (round <- 0 until 2) {
+      val raw = (0 until 100).map(_ => (nxt() % 40, nxt() % 40)).distinct
+      val present = raw.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      val pidx = present.zipWithIndex.toMap
+      val m = present.length
+      val adj = Array.fill(m)(List.empty[Int])
+      raw.foreach { case (u, v) => adj(pidx(u)) = pidx(v) :: adj(pidx(u)) }
+
+      // explicit-stack Tarjan
+      val index = Array.fill(m)(-1); val low = new Array[Int](m)
+      val onstk = new Array[Boolean](m)
+      val stk = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var counter = 0
+      val comps = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+      for (v0 <- 0 until m if index(v0) == -1) {
+        index(v0) = counter; low(v0) = counter; counter += 1; stk += v0; onstk(v0) = true
+        var call = List((v0, adj(v0)))
+        while (call.nonEmpty) call.head match {
+          case (v, w :: tl) =>
+            call = (v, tl) :: call.tail
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1; stk += w; onstk(w) = true
+              call = (w, adj(w)) :: call
+            } else if (onstk(w)) low(v) = math.min(low(v), index(w))
+          case (v, Nil) =>
+            call = call.tail
+            if (low(v) == index(v)) {
+              val members = Set.newBuilder[Int]
+              var w = -1
+              while (w != v) { w = stk.remove(stk.length - 1); onstk(w) = false; members += w }
+              comps += members.result()
+            }
+            call.headOption.foreach { case (p, _) => low(p) = math.min(low(p), low(v)) }
+        }
+      }
+      val expected = comps.map(_.map(i => present(i).toString)).toSet
+
+      val g = LinkGraph.fromNumericEdgeList(spark,
+        raw.zipWithIndex.map { case ((u, v), i) => (u, v, i.toLong) })
+      for (bound <- Seq(None, Some("10"))) {
+        val prev = spark.conf.getOption("graft.driver.maxElements")
+        bound.foreach(b => spark.conf.set("graft.driver.maxElements", b))
+        try {
+          val got = Components.scc(g).collect()
+            .map(r => (r.getAs[String]("name"), r.getAs[Long]("component_vid")))
+            .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+          assert(got == expected, s"round=$round bound=$bound")
+        } finally bound.foreach { _ =>
+          prev match {
+            case Some(v) => spark.conf.set("graft.driver.maxElements", v)
+            case None => spark.conf.unset("graft.driver.maxElements")
+          }
+        }
+      }
+    }
+  }
+
   test("SCC FW-BW: giant cycles above the driver bound are extracted distributedly") {
     // two 40-cycles + a dangling tail; with the collect bound forced below
     // the residual size, the FW-BW pivot rounds must label both cycles

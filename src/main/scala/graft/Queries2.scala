@@ -286,6 +286,12 @@ object Queries2 {
       graft.cypher.Cypher.run(graph(s, d),
         "MATCH (a)-[e]->(b) RETURN a.id AS src, b.id AS dst, e.ts AS ts " +
           "ORDER BY src, dst, ts SKIP 100 LIMIT 50")),
+    // aggregate DISTINCT (openCypher expression-DISTINCT): distinct
+    // out-neighbour count beside the raw event count per source
+    "cy_distinct" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[e]->(b) RETURN a.id AS id, " +
+          "count(DISTINCT b.id) AS nbrs, count(*) AS n_events")),
     // UNION dedups across overlapping branches (early events + self-loops)
     "cy_union" -> ((s, d) => {
       val g = graph(s, d)
@@ -702,6 +708,11 @@ object Queries2 {
       s"""WITH $sqlGraph
          |SELECT src, dst, ts FROM ev
          |ORDER BY src, dst, ts LIMIT 50 OFFSET 100""".stripMargin,
+    "cy_distinct" ->
+      s"""WITH $sqlGraph
+         |SELECT src AS id, CAST(count(DISTINCT dst) AS BIGINT) AS nbrs,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM ev GROUP BY src""".stripMargin,
     "cy_union" ->
       s"""WITH $sqlGraph,
          |tt AS (SELECT (max(ts) + 1) // 2 AS t FROM ev)

@@ -55,7 +55,9 @@ import graft.graph.LinkGraph
   *    ORDER BY ... ASC|DESC, SKIP, LIMIT;
   *  - aggregates count(*)/count(x)/sum/min/max/avg/collect with Cypher
   *    implicit grouping (non-aggregate RETURN/WITH items become the
-  *    keys).
+  *    keys), each accepting expression-DISTINCT (count(DISTINCT x),
+  *    collect(DISTINCT x) -> collect_set; count(DISTINCT e) over a
+  *    whole edge variable counts distinct event tuples).
   *
   * Bindings: an edge variable binds one exploded edge EVENT row (the
   * reference returns one row per event, lib.rs:241-255) with columns
@@ -80,7 +82,7 @@ object Cypher {
   case class Not(e: Expr) extends Expr
   /** Function call: aggregates (count/sum/min/max/avg/collect — count(*)
     * has arg None) or the scalar type(e) = edge layer. */
-  case class Fn(name: String, arg: Option[Expr]) extends Expr
+  case class Fn(name: String, arg: Option[Expr], distinct: Boolean = false) extends Expr
   case class IsNull(e: Expr, not: Boolean) extends Expr
 
   case class NodePat(v: Option[String], label: Option[String], props: Map[String, Lit])
@@ -289,7 +291,11 @@ object Cypher {
         val v = ident()
         if (punct("(")) { // function call: count(*) / count(x) / sum / type / ...
           if (v.equalsIgnoreCase("count") && punct("*")) { expectPunct(")"); Fn("count", None) }
-          else { val a = expr(); expectPunct(")"); Fn(v.toLowerCase, Some(a)) }
+          else {
+            // openCypher aggregate-DISTINCT: count(DISTINCT x), collect(DISTINCT x), ...
+            val d = kw("DISTINCT")
+            val a = expr(); expectPunct(")"); Fn(v.toLowerCase, Some(a), d)
+          }
         }
         else if (punct(".")) Prop(v, ident()) else VarRef(v)
       case t => throw new IllegalArgumentException(s"unexpected token $t")
@@ -586,36 +592,46 @@ object Cypher {
       case And(l, r) => exprCol(l) && exprCol(r)
       case Or(l, r) => exprCol(l) || exprCol(r)
       case Not(x) => !exprCol(x)
-      case Fn("type", Some(VarRef(v))) if edgeVars.contains(v) => col(s"${v}_layer")
-      case Fn(n, Some(VarRef(v))) if (n == "length" || n == "size") && varLenVars.contains(v) =>
+      case Fn("type", Some(VarRef(v)), false) if edgeVars.contains(v) => col(s"${v}_layer")
+      case Fn(n, Some(VarRef(v)), false) if (n == "length" || n == "size") && varLenVars.contains(v) =>
         col(varLenVars(v))
       case IsNull(x, false) => exprCol(x).isNull
       case IsNull(x, true) => exprCol(x).isNotNull
-      case Fn(n, _) => throw new IllegalArgumentException(
+      case Fn(n, _, _) => throw new IllegalArgumentException(
         s"function $n only valid as a top-level RETURN/WITH item")
     }
 
     val aggFns = Set("count", "sum", "min", "max", "avg", "collect")
     def topAgg(e: Expr): Boolean = e match {
-      case Fn(n, _) => aggFns(n)
+      case Fn(n, _, _) => aggFns(n)
       case _ => false
     }
     def aggColOf(e: Expr): Column = e match {
-      case Fn("count", None) => count(lit(1))
-      case Fn("count", Some(VarRef(v))) if edgeVars.contains(v) => count(col(s"${v}_src"))
-      case Fn("count", Some(a)) => count(exprCol(a))
-      case Fn("sum", Some(a)) => sum(exprCol(a))
-      case Fn("min", Some(a)) => min(exprCol(a))
-      case Fn("max", Some(a)) => max(exprCol(a))
-      case Fn("avg", Some(a)) => avg(exprCol(a))
-      case Fn("collect", Some(a)) => collect_list(exprCol(a))
+      case Fn("count", None, _) => count(lit(1))
+      case Fn("count", Some(VarRef(v)), false) if edgeVars.contains(v) => count(col(s"${v}_src"))
+      // DISTINCT over a whole edge variable = distinct event rows: count the
+      // distinct tuple of all its columns (src,dst,ts,seq,layer identify an event)
+      case Fn("count", Some(VarRef(v)), true) if edgeVars.contains(v) =>
+        count_distinct(struct(edgeVars(v).map(col): _*))
+      case Fn("count", Some(a), true) => count_distinct(exprCol(a))
+      case Fn("count", Some(a), false) => count(exprCol(a))
+      case Fn("sum", Some(a), true) => sum_distinct(exprCol(a))
+      case Fn("sum", Some(a), false) => sum(exprCol(a))
+      // min/max are insensitive to duplicates — DISTINCT is a no-op
+      case Fn("min", Some(a), _) => min(exprCol(a))
+      case Fn("max", Some(a), _) => max(exprCol(a))
+      case Fn("avg", Some(a), true) =>
+        (sum_distinct(exprCol(a)) / count_distinct(exprCol(a))).cast("double")
+      case Fn("avg", Some(a), false) => avg(exprCol(a))
+      case Fn("collect", Some(a), true) => collect_set(exprCol(a))
+      case Fn("collect", Some(a), false) => collect_list(exprCol(a))
       case other => throw new IllegalArgumentException(s"unsupported aggregate $other")
     }
     def itemName(e: Expr, alias: Option[String], i: Int): String = alias.getOrElse(e match {
       case Prop(v, p) => s"${v}_$p"
       case VarRef(v) => if (valueVars.contains(v)) v else s"${v}_vid"
-      case Fn("count", _) => "count"
-      case Fn(n, _) => n
+      case Fn("count", _, _) => "count"
+      case Fn(n, _, _) => n
       case _ => s"col$i"
     })
     /** Output names with colliding DEFAULT names disambiguated by item
@@ -876,7 +892,7 @@ object Cypher {
         case Or(l, r) => exprVars(l) ++ exprVars(r)
         case Not(x) => exprVars(x)
         case IsNull(x, _) => exprVars(x)
-        case Fn(_, a) => a.map(exprVars).getOrElse(Set.empty)
+        case Fn(_, a, _) => a.map(exprVars).getOrElse(Set.empty)
         case ListLit(items) => items.flatMap(exprVars).toSet
         case _ => Set.empty
       }

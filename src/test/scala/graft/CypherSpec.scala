@@ -578,4 +578,36 @@ class CypherSpec extends AnyFunSuite {
       Cypher.run(g, "MATCH (a)-[p*2]->(b) RETURN p")
     }
   }
+
+  test("aggregate DISTINCT: count/sum/avg over duplicated bindings") {
+    // 6 edge events but only 4 distinct source nodes (0 and 2 appear twice)
+    assert(Cypher.run(g, "MATCH (a)-[e]->() RETURN count(DISTINCT a.id) AS n")
+      .head().getLong(0) == 4L)
+    assert(Cypher.run(g, "MATCH (a)-[e]->() RETURN count(a.id) AS n")
+      .head().getLong(0) == 6L)
+    assert(Cypher.run(g, "MATCH (a)-[e]->() RETURN sum(DISTINCT a.id) AS s")
+      .head().getLong(0) == 6L) // 0+1+2+3, not 0+1+0+2+3+2=8
+    assert(Cypher.run(g, "MATCH (a)-[e]->() RETURN avg(DISTINCT a.id) AS m")
+      .head().getDouble(0) == 1.5)
+  }
+
+  test("aggregate DISTINCT: implicit grouping + collect_set") {
+    val perSrc = Cypher.run(g,
+      "MATCH (a)-[e]->(b) RETURN a.id AS a, count(DISTINCT b.id) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perSrc == Map(0L -> 2L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
+    val dsts = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WHERE a.id = 0 RETURN collect(DISTINCT b.id) AS ds")
+      .head().getSeq[Long](0).toSet
+    assert(dsts == Set(1L, 2L))
+  }
+
+  test("count(DISTINCT e) over a whole edge variable counts distinct events") {
+    // undirected match binds every event twice (once per direction): plain
+    // count sees 12 rows, DISTINCT over the event tuple collapses to 6
+    assert(Cypher.run(g, "MATCH (a)-[e]-(b) RETURN count(e) AS n")
+      .head().getLong(0) == 12L)
+    assert(Cypher.run(g, "MATCH (a)-[e]-(b) RETURN count(DISTINCT e) AS n")
+      .head().getLong(0) == 6L)
+  }
 }

@@ -292,6 +292,13 @@ object Queries2 {
       graft.cypher.Cypher.run(graph(s, d),
         "MATCH (a)-[e]->(b) RETURN a.id AS id, " +
           "count(DISTINCT b.id) AS nbrs, count(*) AS n_events")),
+    // expression surface: IN-list predicate, arithmetic (% at Cypher
+    // precedence), searched CASE, aggregates of arithmetic expressions
+    "cy_expr" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[e]->(b) WHERE a.id % 10 IN [1, 3, 5, 7] " +
+          "RETURN CASE WHEN e.ts % 3 = 0 THEN 'z' WHEN e.ts % 3 = 1 THEN 'o' ELSE 'r' END AS bucket, " +
+          "count(*) AS n, sum(e.ts % 100 + 1) AS s")),
     // UNION dedups across overlapping branches (early events + self-loops)
     "cy_union" -> ((s, d) => {
       val g = graph(s, d)
@@ -713,6 +720,11 @@ object Queries2 {
          |SELECT src AS id, CAST(count(DISTINCT dst) AS BIGINT) AS nbrs,
          |  CAST(count(*) AS BIGINT) AS n_events
          |FROM ev GROUP BY src""".stripMargin,
+    "cy_expr" ->
+      s"""WITH $sqlGraph
+         |SELECT CASE WHEN ts % 3 = 0 THEN 'z' WHEN ts % 3 = 1 THEN 'o' ELSE 'r' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(ts % 100 + 1) AS BIGINT) AS s
+         |FROM ev WHERE src % 10 IN (1, 3, 5, 7) GROUP BY 1""".stripMargin,
     "cy_union" ->
       s"""WITH $sqlGraph,
          |tt AS (SELECT (max(ts) + 1) // 2 AS t FROM ev)

@@ -47,9 +47,18 @@ import graft.graph.LinkGraph
   *    lib.rs:383-401, parser/mod.rs:1473);
   *  - inline property maps `{src: 0}` (lib.rs:401);
   *  - WHERE with =, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS,
-  *    IS [NOT] NULL, AND, OR, NOT (Cypher precedence: looser than
-  *    comparisons) over literals, node/edge variables and their
+  *    IN <list>, IS [NOT] NULL, AND, OR, NOT (Cypher precedence: looser
+  *    than comparisons) over literals, node/edge variables and their
   *    properties (lib.rs:410,565; parser fixtures mod.rs:1710-1790);
+  *  - expressions: arithmetic + - * / % at openCypher precedence
+  *    (string `+` concatenates, integer `/` truncates), unary minus,
+  *    CASE (simple and searched), and scalar functions — type(e), id(n),
+  *    labels(n), startNode/endNode(e), coalesce, toInteger/toFloat/
+  *    toString/toBoolean, abs/sqrt/round/floor/ceil/sign, toUpper/
+  *    toLower/trim/ltrim/rtrim/reverse/left/right/substring/replace/
+  *    split, size/length — all mapped to codegen'd Catalyst functions
+  *    (the reference grammar parses these shapes, cypher.pest Expr/
+  *    FunctionInvocation, but its transpiler executes almost none);
   *  - RETURN items (var, var.prop, aliases, bare edge var = the whole
   *    event row, type(e) = layer; lib.rs:241-255), RETURN *, DISTINCT,
   *    ORDER BY ... ASC|DESC, SKIP, LIMIT;
@@ -80,9 +89,21 @@ object Cypher {
   case class And(l: Expr, r: Expr) extends Expr
   case class Or(l: Expr, r: Expr) extends Expr
   case class Not(e: Expr) extends Expr
-  /** Function call: aggregates (count/sum/min/max/avg/collect — count(*)
-    * has arg None) or the scalar type(e) = edge layer. */
+  /** Aggregate call: count/sum/min/max/avg/collect — count(*) has arg
+    * None. Scalar functions parse to [[FnN]]. */
   case class Fn(name: String, arg: Option[Expr], distinct: Boolean = false) extends Expr
+  /** Scalar function call (lower-cased name, any arity): type(e), id(n),
+    * coalesce, substring, toInteger, abs, ... — see exprCol for the map. */
+  case class FnN(name: String, args: Seq[Expr]) extends Expr
+  /** Arithmetic: + - * / % at openCypher precedence (mul binds tighter);
+    * `+` concatenates when either side is a string, `/` truncates when
+    * both sides are integers (openCypher integer division). */
+  case class Arith(op: String, l: Expr, r: Expr) extends Expr
+  case class Neg(e: Expr) extends Expr
+  /** CASE — searched (subject None: WHEN <pred> THEN ...) or simple
+    * (subject Some(e): WHEN <value> THEN ... compares e = value). */
+  case class CaseExpr(subject: Option[Expr], whens: Seq[(Expr, Expr)],
+                      els: Option[Expr]) extends Expr
   case class IsNull(e: Expr, not: Boolean) extends Expr
 
   case class NodePat(v: Option[String], label: Option[String], props: Map[String, Lit])
@@ -273,6 +294,8 @@ object Cypher {
       Chain(first, hops.result())
     }
 
+    private val aggNames = Set("count", "sum", "min", "max", "avg", "collect")
+
     private def operand(): Expr = peek match {
       case Some(TPunct("(")) => punct("("); val e = expr(); expectPunct(")"); e
       case Some(TPunct("[")) => // list literal (UNWIND [1, 2, 3] AS x)
@@ -287,6 +310,18 @@ object Cypher {
       case Some(TPunct("-")) => literal() // negative numeric literal
       case Some(_: TNum) | Some(_: TStr) => literal()
       case Some(TIdent(s)) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => literal()
+      case Some(TIdent(s)) if s.equalsIgnoreCase("CASE") =>
+        pos += 1
+        val subject = if (peekKw("WHEN")) None else Some(expr())
+        val whens = Seq.newBuilder[(Expr, Expr)]
+        while (kw("WHEN")) {
+          val c = expr(); expectKw("THEN"); whens += ((c, expr()))
+        }
+        val ws = whens.result()
+        require(ws.nonEmpty, "CASE needs at least one WHEN branch")
+        val els = if (kw("ELSE")) Some(expr()) else None
+        expectKw("END")
+        CaseExpr(subject, ws, els)
       case Some(_: TIdent) =>
         val v = ident()
         if (punct("(")) { // function call: count(*) / count(x) / sum / type / ...
@@ -294,24 +329,75 @@ object Cypher {
           else {
             // openCypher aggregate-DISTINCT: count(DISTINCT x), collect(DISTINCT x), ...
             val d = kw("DISTINCT")
-            val a = expr(); expectPunct(")"); Fn(v.toLowerCase, Some(a), d)
+            val args = Seq.newBuilder[Expr]
+            if (!punct(")")) {
+              args += expr()
+              while (punct(",")) args += expr()
+              expectPunct(")")
+            }
+            val as = args.result()
+            val nm = v.toLowerCase
+            if (aggNames(nm)) {
+              require(as.length == 1, s"aggregate $nm takes exactly one argument")
+              Fn(nm, Some(as.head), d)
+            } else {
+              require(!d, s"DISTINCT is only valid inside an aggregate, not $nm()")
+              FnN(nm, as)
+            }
           }
         }
         else if (punct(".")) Prop(v, ident()) else VarRef(v)
       case t => throw new IllegalArgumentException(s"unexpected token $t")
     }
 
+    /** Unary minus: a leading '-' before a number folds into the literal
+      * (the shape propMap/literal also accept); before anything else it
+      * negates the operand. */
+    private def unary(): Expr = peek match {
+      case Some(TPunct("-")) =>
+        pos += 1
+        peek match {
+          case Some(TNum(s)) => pos += 1; num(s, neg = true)
+          case _ => Neg(unary())
+        }
+      case _ => operand()
+    }
+
+    private def mulExpr(): Expr = {
+      var l = unary()
+      var more = true
+      while (more) peek match {
+        case Some(TPunct(p)) if p == "*" || p == "/" || p == "%" =>
+          pos += 1; l = Arith(p, l, unary())
+        case _ => more = false
+      }
+      l
+    }
+
+    private def addExpr(): Expr = {
+      var l = mulExpr()
+      var more = true
+      while (more) peek match {
+        case Some(TPunct(p)) if p == "+" || p == "-" =>
+          pos += 1; l = Arith(p, l, mulExpr())
+        case _ => more = false
+      }
+      l
+    }
+
     private def cmp(): Expr = {
-      val l = operand()
+      val l = addExpr()
       peek match {
         case Some(TPunct(p)) if Set("=", "<>", "<", "<=", ">", ">=").contains(p) =>
-          pos += 1; Cmp(p, l, operand())
+          pos += 1; Cmp(p, l, addExpr())
         case Some(TIdent(s)) if s.equalsIgnoreCase("STARTS") =>
-          pos += 1; expectKw("WITH"); Cmp("starts", l, operand())
+          pos += 1; expectKw("WITH"); Cmp("starts", l, addExpr())
         case Some(TIdent(s)) if s.equalsIgnoreCase("ENDS") =>
-          pos += 1; expectKw("WITH"); Cmp("ends", l, operand())
+          pos += 1; expectKw("WITH"); Cmp("ends", l, addExpr())
         case Some(TIdent(s)) if s.equalsIgnoreCase("CONTAINS") =>
-          pos += 1; Cmp("contains", l, operand())
+          pos += 1; Cmp("contains", l, addExpr())
+        case Some(TIdent(s)) if s.equalsIgnoreCase("IN") => // list membership
+          pos += 1; Cmp("in", l, addExpr())
         case Some(TIdent(s)) if s.equalsIgnoreCase("IS") => // IS [NOT] NULL postfix
           pos += 1
           val neg = kw("NOT")
@@ -560,6 +646,23 @@ object Cypher {
       acc = acc.join(g.nodes.select(renamed: _*), col(bound(v)) === col(keyCol)).drop(keyCol)
     }
 
+    /** Resolve a column's type against the current frame (plan-time
+      * analysis only, no job): drives the type-dependent openCypher
+      * operators — string `+` = concat, integer `/` truncates, size() of
+      * a string vs a list. Falls back to a unit frame when no part has
+      * been planned yet (literal-only expressions, e.g. leading UNWIND). */
+    def dtypeOf(c: Column): org.apache.spark.sql.types.DataType = {
+      val probe = if (acc != null) acc else g.spark.range(1).toDF()
+      probe.select(c.as("_t")).schema.head.dataType
+    }
+    def isString(c: Column): Boolean =
+      dtypeOf(c) == org.apache.spark.sql.types.StringType
+    def isIntegral(c: Column): Boolean = dtypeOf(c) match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
     def exprCol(e: Expr): Column = e match {
       case Lit(v) => lit(v)
       case ListLit(items) => array(items.map(exprCol): _*)
@@ -588,17 +691,99 @@ object Cypher {
       case Cmp("starts", l, r) => exprCol(l).startsWith(exprCol(r))
       case Cmp("ends", l, r) => exprCol(l).endsWith(exprCol(r))
       case Cmp("contains", l, r) => exprCol(l).contains(exprCol(r))
+      // list membership: the rhs is a list literal or a carried collect()
+      // column; NULL-element subtleties follow Spark's array_contains
+      case Cmp("in", l, r) => array_contains(exprCol(r), exprCol(l))
       case Cmp(op, _, _) => throw new IllegalArgumentException(s"unsupported operator $op")
       case And(l, r) => exprCol(l) && exprCol(r)
       case Or(l, r) => exprCol(l) || exprCol(r)
       case Not(x) => !exprCol(x)
-      case Fn("type", Some(VarRef(v)), false) if edgeVars.contains(v) => col(s"${v}_layer")
-      case Fn(n, Some(VarRef(v)), false) if (n == "length" || n == "size") && varLenVars.contains(v) =>
-        col(varLenVars(v))
+      case Neg(x) => -exprCol(x)
+      case Arith(op, l, r) =>
+        // resolve operands FIRST: either may lazily join the node table
+        val (lc, rc) = (exprCol(l), exprCol(r))
+        op match {
+          case "+" =>
+            if (isString(lc) || isString(rc)) concat(lc.cast("string"), rc.cast("string"))
+            else lc + rc
+          case "-" => lc - rc
+          case "*" => lc * rc
+          case "/" =>
+            // openCypher: integer / integer truncates toward zero (Spark's
+            // `/` always widens to double; the cast restores truncation)
+            if (isIntegral(lc) && isIntegral(rc)) (lc / rc).cast("long")
+            else lc / rc
+          case "%" => lc % rc
+        }
+      case CaseExpr(subject, whens, els) =>
+        val branches = subject match {
+          case Some(s) =>
+            val sc = exprCol(s)
+            whens.map { case (c, v) => (sc === exprCol(c), exprCol(v)) }
+          case None => whens.map { case (c, v) => (exprCol(c), exprCol(v)) }
+        }
+        val first = when(branches.head._1, branches.head._2)
+        val chained = branches.tail.foldLeft(first) { case (w, (c, v)) => w.when(c, v) }
+        els.map(x => chained.otherwise(exprCol(x))).getOrElse(chained)
       case IsNull(x, false) => exprCol(x).isNull
       case IsNull(x, true) => exprCol(x).isNotNull
+      case f: FnN => scalarFn(f)
       case Fn(n, _, _) => throw new IllegalArgumentException(
-        s"function $n only valid as a top-level RETURN/WITH item")
+        s"aggregate $n only valid as a top-level RETURN/WITH item")
+    }
+
+    /** Scalar function map (openCypher names, lower-cased by the parser).
+      * Graph accessors first, then the general library — every target is
+      * a codegen'd Catalyst function, no UDFs. */
+    def scalarFn(f: FnN): Column = f match {
+      case FnN("type", Seq(VarRef(v))) if edgeVars.contains(v) => col(s"${v}_layer")
+      case FnN(n, Seq(VarRef(v))) if (n == "length" || n == "size") && varLenVars.contains(v) =>
+        col(varLenVars(v))
+      case FnN("id", Seq(VarRef(v))) if bound.contains(v) => col(bound(v))
+      case FnN("labels", Seq(VarRef(v))) if bound.contains(v) =>
+        joinNodeTable(v); array(col(s"${v}_node_type"))
+      case FnN("startnode", Seq(VarRef(v))) if edgeVars.contains(v) => col(s"${v}_src")
+      case FnN("endnode", Seq(VarRef(v))) if edgeVars.contains(v) => col(s"${v}_dst")
+      case FnN("coalesce", as) if as.nonEmpty => coalesce(as.map(exprCol): _*)
+      case FnN("tointeger", Seq(a)) => exprCol(a).cast("long")
+      case FnN("tofloat", Seq(a)) => exprCol(a).cast("double")
+      case FnN("tostring", Seq(a)) => exprCol(a).cast("string")
+      case FnN("toboolean", Seq(a)) => exprCol(a).cast("boolean")
+      case FnN("abs", Seq(a)) => abs(exprCol(a))
+      case FnN("sqrt", Seq(a)) => sqrt(exprCol(a))
+      case FnN("round", Seq(a)) => round(exprCol(a), 0)
+      // openCypher floor/ceil return floats, sign an integer
+      case FnN("floor", Seq(a)) => floor(exprCol(a)).cast("double")
+      case FnN("ceil", Seq(a)) => ceil(exprCol(a)).cast("double")
+      case FnN("sign", Seq(a)) => signum(exprCol(a)).cast("long")
+      case FnN(n, Seq(a)) if n == "toupper" || n == "upper" => upper(exprCol(a))
+      case FnN(n, Seq(a)) if n == "tolower" || n == "lower" => lower(exprCol(a))
+      case FnN("trim", Seq(a)) => trim(exprCol(a))
+      case FnN("ltrim", Seq(a)) => ltrim(exprCol(a))
+      case FnN("rtrim", Seq(a)) => rtrim(exprCol(a))
+      case FnN("reverse", Seq(a)) => reverse(exprCol(a))
+      case FnN("left", Seq(a, n)) => exprCol(a).substr(lit(1), exprCol(n).cast("int"))
+      case FnN("right", Seq(a, n)) =>
+        val (c, k) = (exprCol(a), exprCol(n).cast("int"))
+        c.substr(greatest(length(c) - k + lit(1), lit(1)), k)
+      // openCypher substring is 0-based; Column.substr is 1-based
+      case FnN("substring", Seq(a, st)) =>
+        val c = exprCol(a)
+        c.substr(exprCol(st).cast("int") + lit(1), length(c))
+      case FnN("substring", Seq(a, st, len)) =>
+        exprCol(a).substr(exprCol(st).cast("int") + lit(1), exprCol(len).cast("int"))
+      case FnN("replace", Seq(a, s, r)) =>
+        org.apache.spark.sql.functions.replace(exprCol(a), exprCol(s), exprCol(r))
+      // openCypher split takes a LITERAL delimiter; Spark's split takes a
+      // regex, so the delimiter is regex-quoted at plan time
+      case FnN("split", Seq(a, Lit(delim: String))) =>
+        split(exprCol(a), java.util.regex.Pattern.quote(delim))
+      // size/length of a value: list → element count, string → chars
+      case FnN(n, Seq(a)) if n == "size" || n == "length" =>
+        val c = exprCol(a)
+        if (isString(c)) length(c).cast("long") else size(c).cast("long")
+      case FnN(n, as) => throw new IllegalArgumentException(
+        s"unsupported function $n/${as.length}")
     }
 
     val aggFns = Set("count", "sum", "min", "max", "avg", "collect")
@@ -632,6 +817,7 @@ object Cypher {
       case VarRef(v) => if (valueVars.contains(v)) v else s"${v}_vid"
       case Fn("count", _, _) => "count"
       case Fn(n, _, _) => n
+      case FnN(n, _) => n
       case _ => s"col$i"
     })
     /** Output names with colliding DEFAULT names disambiguated by item
@@ -893,6 +1079,11 @@ object Cypher {
         case Not(x) => exprVars(x)
         case IsNull(x, _) => exprVars(x)
         case Fn(_, a, _) => a.map(exprVars).getOrElse(Set.empty)
+        case FnN(_, as) => as.flatMap(exprVars).toSet
+        case Arith(_, l, r) => exprVars(l) ++ exprVars(r)
+        case Neg(x) => exprVars(x)
+        case CaseExpr(s, ws, e) =>
+          (s.toSeq ++ ws.flatMap(w => Seq(w._1, w._2)) ++ e.toSeq).flatMap(exprVars).toSet
         case ListLit(items) => items.flatMap(exprVars).toSet
         case _ => Set.empty
       }

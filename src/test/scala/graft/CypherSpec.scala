@@ -602,6 +602,93 @@ class CypherSpec extends AnyFunSuite {
     assert(dsts == Set(1L, 2L))
   }
 
+  test("arithmetic: precedence, integer division, modulo, unary minus") {
+    // edges ts=1..6: sum(ts % 2) = 1+0+1+0+1+0 = 3; 2+3*2 = 8 not 10
+    assert(Cypher.run(g, "MATCH ()-[e]->() RETURN sum(e.ts % 2) AS s")
+      .head().getLong(0) == 3L)
+    assert(Cypher.run(g, "MATCH (a {id: 0})-[e]->(b) WHERE e.ts = 1 " +
+      "RETURN e.ts * 2 + 3 AS x, 2 + 3 * 2 AS y, -e.ts AS z").head() match {
+      case r => r.getLong(0) == 5L && r.getLong(1) == 8L && r.getLong(2) == -1L
+    })
+    // openCypher integer division truncates; double division does not
+    val d = Cypher.run(g, "MATCH ()-[e]->() WHERE e.ts = 3 " +
+      "RETURN e.ts / 2 AS i, e.weight / 2 AS f").head()
+    assert(d.getLong(0) == 1L && d.getDouble(1) == 2.5)
+  }
+
+  test("string + concatenates; numeric + adds") {
+    val r = Cypher.run(g, "MATCH (a)-[e]->(b) WHERE a.id = 0 AND b.id = 1 " +
+      "RETURN a.name + '->' + b.name AS s, e.ts + 1 AS t").head()
+    assert(r.getString(0) == "zero->one" && r.getLong(1) == 2L)
+  }
+
+  test("IN list predicate (literal list and carried collect list)") {
+    assert(Cypher.run(g, "MATCH (a)-[e]->() WHERE a.id IN [0, 3] RETURN count(*) AS n")
+      .head().getLong(0) == 3L) // 0->1, 0->2, 3->0
+    // carried list: collect the out-neighbours of 0, then test membership
+    val m = Cypher.run(g,
+      "MATCH (z {id: 0})-[e]->(b) WITH collect(b.id) AS outs " +
+        "MATCH (x) WHERE x.id IN outs RETURN count(*) AS n")
+    assert(m.head().getLong(0) == 2L) // nodes 1 and 2
+  }
+
+  test("CASE searched and simple forms") {
+    val rows = Cypher.run(g,
+      "MATCH ()-[e]->() RETURN CASE WHEN e.ts % 2 = 0 THEN 'even' ELSE 'odd' END AS p, " +
+        "count(*) AS n").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("even" -> 3L, "odd" -> 3L))
+    val simple = Cypher.run(g,
+      "MATCH ()-[e]->() RETURN CASE e.layer WHEN 'a' THEN 1 WHEN 'b' THEN 2 END AS c, " +
+        "count(*) AS n").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(simple == Map(1L -> 4L, 2L -> 2L))
+    // no ELSE and no matching WHEN -> NULL
+    assert(Cypher.run(g,
+      "MATCH ()-[e]->() WHERE e.layer = 'b' " +
+        "RETURN CASE e.layer WHEN 'a' THEN 1 END AS c").head().isNullAt(0))
+  }
+
+  test("scalar functions: graph accessors id/labels/startNode/endNode") {
+    val g2 = g.withNodeTypes(Seq((0L, "even"), (1L, "odd"), (2L, "even"), (3L, "odd"))
+      .toDF("vid", "node_type"))
+    val r = Cypher.run(g2, "MATCH (a)-[e]->(b) WHERE e.ts = 1 " +
+      "RETURN id(a) AS ia, labels(a) AS la, startNode(e) AS s, endNode(e) AS t").head()
+    assert(r.getLong(0) == 0L && r.getSeq[String](1) == Seq("even")
+      && r.getLong(2) == 0L && r.getLong(3) == 1L)
+  }
+
+  test("scalar functions: strings, casts, coalesce, size") {
+    val ok = Cypher.run(g, "MATCH (a {id: 0}) RETURN toUpper(a.name) AS u, " +
+      "substring(a.name, 1, 2) AS sub, replace(a.name, 'z', 'h') AS rep, " +
+      "coalesce(CASE WHEN a.id > 0 THEN 'y' END, 'x') AS co, size(a.name) AS sz, " +
+      "toInteger('42') AS i, reverse(a.name) AS rv, left(a.name, 2) AS lf, " +
+      "right(a.name, 2) AS rt, split(a.name, 'r') AS sp").head()
+    assert(ok.getString(0) == "ZERO" && ok.getString(1) == "er"
+      && ok.getString(2) == "hero" && ok.getString(3) == "x"
+      && ok.getLong(4) == 4L && ok.getLong(5) == 42L
+      && ok.getString(6) == "orez" && ok.getString(7) == "ze"
+      && ok.getString(8) == "ro" && ok.getSeq[String](9) == Seq("ze", "o"))
+  }
+
+  test("scalar functions: math family + rounding semantics") {
+    val r = Cypher.run(g, "MATCH ()-[e]->() WHERE e.ts = 3 RETURN " +
+      "abs(-e.weight) AS a, sqrt(e.weight * 5) AS q, round(e.weight / 2) AS rnd, " +
+      "floor(e.weight / 2) AS fl, ceil(e.weight / 2) AS ce, sign(-e.ts) AS sg").head()
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 5.0 && r.getDouble(2) == 3.0
+      && r.getDouble(3) == 2.0 && r.getDouble(4) == 3.0 && r.getLong(5) == -1L)
+  }
+
+  test("expression errors: DISTINCT on scalar fn, aggregate arity, unknown fn") {
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a) RETURN toUpper(DISTINCT a.name) AS u")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a)-[e]->() RETURN sum(e.ts, e.seq) AS s")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a) RETURN no_such_fn(a.name) AS x")
+    }
+  }
+
   test("count(DISTINCT e) over a whole edge variable counts distinct events") {
     // undirected match binds every event twice (once per direction): plain
     // count sees 12 rows, DISTINCT over the event tuple collapses to 6

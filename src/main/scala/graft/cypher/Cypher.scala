@@ -50,8 +50,9 @@ import graft.graph.LinkGraph
   *    IN <list>, IS [NOT] NULL, AND, OR, NOT (Cypher precedence: looser
   *    than comparisons) over literals, node/edge variables and their
   *    properties (lib.rs:410,565; parser fixtures mod.rs:1710-1790);
-  *  - expressions: arithmetic + - * / % at openCypher precedence
-  *    (string `+` concatenates, integer `/` truncates), unary minus,
+  *  - expressions: arithmetic + - * / % ^ at openCypher precedence
+  *    (string `+` concatenates, integer `/` truncates, `^` binds
+  *    tighter than unary minus and returns float), XOR, unary minus,
   *    CASE (simple and searched), and scalar functions — type(e), id(n),
   *    labels(n), startNode/endNode(e), coalesce, toInteger/toFloat/
   *    toString/toBoolean, abs/sqrt/round/floor/ceil/sign, toUpper/
@@ -88,6 +89,9 @@ object Cypher {
   case class Cmp(op: String, l: Expr, r: Expr) extends Expr
   case class And(l: Expr, r: Expr) extends Expr
   case class Or(l: Expr, r: Expr) extends Expr
+  /** Boolean XOR (reference grammar bin_op, cypher.pest:211-214) with
+    * openCypher precedence OR < XOR < AND and SQL NULL semantics. */
+  case class Xor(l: Expr, r: Expr) extends Expr
   case class Not(e: Expr) extends Expr
   /** Aggregate call: count/sum/min/max/avg/collect — count(*) has arg
     * None. Scalar functions parse to [[FnN]]. */
@@ -350,17 +354,28 @@ object Cypher {
       case t => throw new IllegalArgumentException(s"unexpected token $t")
     }
 
-    /** Unary minus: a leading '-' before a number folds into the literal
-      * (the shape propMap/literal also accept); before anything else it
-      * negates the operand. */
+    /** Exponentiation `^` binds tighter than unary minus (openCypher:
+      * -2^2 = -(2^2) = -4) and is right-associative (2^3^2 = 2^(3^2)). */
+    private def powExpr(): Expr = {
+      val l = operand()
+      peek match {
+        case Some(TPunct("^")) => pos += 1; Arith("^", l, unary())
+        case _ => l
+      }
+    }
+
+    /** Unary minus: parsed AFTER `^` so pow binds tighter; a minus whose
+      * operand resolves to a plain numeric literal folds into it (the
+      * shape propMap/literal also accept). */
     private def unary(): Expr = peek match {
       case Some(TPunct("-")) =>
         pos += 1
-        peek match {
-          case Some(TNum(s)) => pos += 1; num(s, neg = true)
-          case _ => Neg(unary())
+        unary() match {
+          case Lit(n: Long) => Lit(-n)
+          case Lit(d: Double) => Lit(-d)
+          case e => Neg(e)
         }
-      case _ => operand()
+      case _ => powExpr()
     }
 
     private def mulExpr(): Expr = {
@@ -421,9 +436,15 @@ object Cypher {
       l
     }
 
-    def expr(): Expr = {
+    private def xorExpr(): Expr = {
       var l = andExpr()
-      while (kw("OR")) l = Or(l, andExpr())
+      while (kw("XOR")) l = Xor(l, andExpr())
+      l
+    }
+
+    def expr(): Expr = {
+      var l = xorExpr()
+      while (kw("OR")) l = Or(l, xorExpr())
       l
     }
 
@@ -697,6 +718,8 @@ object Cypher {
       case Cmp(op, _, _) => throw new IllegalArgumentException(s"unsupported operator $op")
       case And(l, r) => exprCol(l) && exprCol(r)
       case Or(l, r) => exprCol(l) || exprCol(r)
+      // boolean XOR = null-propagating inequality (null XOR x -> null)
+      case Xor(l, r) => exprCol(l) =!= exprCol(r)
       case Not(x) => !exprCol(x)
       case Neg(x) => -exprCol(x)
       case Arith(op, l, r) =>
@@ -708,6 +731,8 @@ object Cypher {
             else lc + rc
           case "-" => lc - rc
           case "*" => lc * rc
+          // openCypher exponentiation always returns a float
+          case "^" => pow(lc, rc)
           case "/" =>
             // openCypher: integer / integer truncates toward zero (Spark's
             // `/` always widens to double; the cast restores truncation)
@@ -1076,6 +1101,7 @@ object Cypher {
         case Cmp(_, l, r) => exprVars(l) ++ exprVars(r)
         case And(l, r) => exprVars(l) ++ exprVars(r)
         case Or(l, r) => exprVars(l) ++ exprVars(r)
+        case Xor(l, r) => exprVars(l) ++ exprVars(r)
         case Not(x) => exprVars(x)
         case IsNull(x, _) => exprVars(x)
         case Fn(_, a, _) => a.map(exprVars).getOrElse(Set.empty)

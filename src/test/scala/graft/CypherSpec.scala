@@ -616,6 +616,16 @@ class CypherSpec extends AnyFunSuite {
     assert(d.getLong(0) == 1L && d.getDouble(1) == 2.5)
   }
 
+  test("XOR precedence (OR < XOR < AND) and pow binding tighter than unary minus") {
+    // ts=1..6; ts<3 XOR ts%2=0 keeps {1} (true,false) and {4,6} (false,true)
+    assert(Cypher.run(g, "MATCH ()-[e]->() WHERE e.ts < 3 XOR e.ts % 2 = 0 " +
+      "RETURN count(*) AS n").head().getLong(0) == 3L)
+    val r = Cypher.run(g, "MATCH ()-[e]->() WHERE e.ts = 2 " +
+      "RETURN -e.ts ^ 2 AS a, 2 ^ 3 ^ 2 AS b, 2 ^ -1 AS c").head()
+    // -2^2 = -(2^2) = -4; right-assoc 2^(3^2) = 512; float results
+    assert(r.getDouble(0) == -4.0 && r.getDouble(1) == 512.0 && r.getDouble(2) == 0.5)
+  }
+
   test("string + concatenates; numeric + adds") {
     val r = Cypher.run(g, "MATCH (a)-[e]->(b) WHERE a.id = 0 AND b.id = 1 " +
       "RETURN a.name + '->' + b.name AS s, e.ts + 1 AS t").head()

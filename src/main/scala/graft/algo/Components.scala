@@ -287,18 +287,18 @@ object Components {
         // the source joins its own member set only via a cycle (reference
         // out_components.rs): seed the stack with i's neighbours, never
         // pre-mark i itself
-        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
         var e = off(i)
         while (e < off(i + 1)) { stack += tgt(e); e += 1 }
         while (stack.nonEmpty) {
           val v = stack.remove(stack.length - 1)
           if (!seen(v)) {
-            seen(v) = true; touched += v; out += v
+            seen(v) = true; touched += v
             var k = off(v)
             while (k < off(v + 1)) { stack += tgt(k); k += 1 }
           }
         }
-        (nds(i)._1, nds(i)._2, out.sorted.map(j => nds(j)._2).toSeq)
+        // touched IS this source's member set (reset happens next round)
+        (nds(i)._1, nds(i)._2, touched.sorted.map(j => nds(j)._2).toSeq)
       }
     }
     spark.createDataset(rows).toDF("vid", "name", "members")

@@ -80,6 +80,10 @@ import graft.graph.LinkGraph
   */
 object Cypher {
 
+  /** The aggregate functions (shared by parser and planner: the parser
+    * routes these to [[Fn]], everything else to [[FnN]]). */
+  private val AggNames = Set("count", "sum", "min", "max", "avg", "collect")
+
   // ---------- AST ----------
   sealed trait Expr
   case class Lit(value: Any) extends Expr
@@ -298,8 +302,6 @@ object Cypher {
       Chain(first, hops.result())
     }
 
-    private val aggNames = Set("count", "sum", "min", "max", "avg", "collect")
-
     private def operand(): Expr = peek match {
       case Some(TPunct("(")) => punct("("); val e = expr(); expectPunct(")"); e
       case Some(TPunct("[")) => // list literal (UNWIND [1, 2, 3] AS x)
@@ -311,7 +313,6 @@ object Cypher {
           expectPunct("]")
         }
         ListLit(items.result())
-      case Some(TPunct("-")) => literal() // negative numeric literal
       case Some(_: TNum) | Some(_: TStr) => literal()
       case Some(TIdent(s)) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => literal()
       case Some(TIdent(s)) if s.equalsIgnoreCase("CASE") =>
@@ -341,7 +342,7 @@ object Cypher {
             }
             val as = args.result()
             val nm = v.toLowerCase
-            if (aggNames(nm)) {
+            if (AggNames(nm)) {
               require(as.length == 1, s"aggregate $nm takes exactly one argument")
               Fn(nm, Some(as.head), d)
             } else {
@@ -465,8 +466,10 @@ object Cypher {
       val order = Seq.newBuilder[(Expr, Boolean)]
       if (kw("ORDER")) {
         expectKw("BY")
+        // uniform expression entry; resolveOrder still requires the
+        // parsed item to reference a projected column
         def orderItem(): (Expr, Boolean) = {
-          val e = operand()
+          val e = addExpr()
           val asc = if (kw("DESC")) false else { kw("ASC"); true }
           (e, asc)
         }
@@ -501,7 +504,7 @@ object Cypher {
           val where = if (kw("WHERE")) Some(expr()) else None
           parts += MatchPart(chains.result(), where, optional)
         } else if (kw("UNWIND")) {
-          val list = operand()
+          val list = addExpr()
           expectKw("AS")
           parts += UnwindPart(list, ident())
         } else if (kw("WITH")) {
@@ -734,9 +737,12 @@ object Cypher {
           // openCypher exponentiation always returns a float
           case "^" => pow(lc, rc)
           case "/" =>
-            // openCypher: integer / integer truncates toward zero (Spark's
-            // `/` always widens to double; the cast restores truncation)
-            if (isIntegral(lc) && isIntegral(rc)) (lc / rc).cast("long")
+            // openCypher: integer / integer truncates toward zero. Spark's
+            // `/` always widens to double (inexact past 2^53), so integral
+            // operands route through SQL `div` (IntegralDivide — exact long
+            // division). n/0 follows SQL semantics and yields NULL, a
+            // documented divergence from openCypher's runtime error.
+            if (isIntegral(lc) && isIntegral(rc)) call_function("div", lc, rc)
             else lc / rc
           case "%" => lc % rc
         }
@@ -811,9 +817,8 @@ object Cypher {
         s"unsupported function $n/${as.length}")
     }
 
-    val aggFns = Set("count", "sum", "min", "max", "avg", "collect")
     def topAgg(e: Expr): Boolean = e match {
-      case Fn(n, _, _) => aggFns(n)
+      case Fn(n, _, _) => AggNames(n)
       case _ => false
     }
     def aggColOf(e: Expr): Column = e match {

@@ -224,7 +224,10 @@ object Dedup {
             least(col("cluster"), coalesce(col("cand"), col("cluster"))).as("cluster"),
             (coalesce(col("cand"), col("cluster")) < col("cluster")).as("changed"))
         val ck = ctx.checkpoint(newState, step)
-        val changed = ck.agg(sum(when(col("changed"), 1L).otherwise(0L))).head().getLong(0)
+        // sum() over an EMPTY state returns NULL (ids can be empty while
+        // pairs reference absent ids) — coalesce keeps the exit exact
+        val changed = ck.agg(coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L)))
+          .head().getLong(0)
         state.unpersist()
         state = ck.drop("changed")
         done = changed == 0

@@ -614,6 +614,11 @@ class CypherSpec extends AnyFunSuite {
     val d = Cypher.run(g, "MATCH ()-[e]->() WHERE e.ts = 3 " +
       "RETURN e.ts / 2 AS i, e.weight / 2 AS f").head()
     assert(d.getLong(0) == 1L && d.getDouble(1) == 2.5)
+    // integral division is EXACT past 2^53 (IntegralDivide, not a
+    // double round-trip) and truncates toward zero for negatives
+    val x = Cypher.run(g, "MATCH (a {id: 0}) RETURN " +
+      "9007199254740993 / 1 AS big, -7 / 2 AS t").head()
+    assert(x.getLong(0) == 9007199254740993L && x.getLong(1) == -3L)
   }
 
   test("XOR precedence (OR < XOR < AND) and pow binding tighter than unary minus") {

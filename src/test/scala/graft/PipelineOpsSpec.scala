@@ -82,6 +82,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("clustersFromPairs: empty id set with non-empty pairs returns empty (no NPE)") {
+    // pairs can reference ids absent from the id table (e.g. a filtered
+    // view); the convergence aggregate over the empty state must not NPE
+    val got = Dedup.clustersFromPairs(
+      Seq.empty[Long].toDF("id"), Seq((1L, 2L)).toDF("a", "b"))
+    assert(got.count() == 0L)
+  }
+
   test("simhash: identical texts equal, near texts close, different far") {
     val sh = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

@@ -315,6 +315,13 @@ object Queries2 {
       graft.cypher.Cypher.run(graph(s, d),
         "MATCH (a)-[p*1..2]->(b) WHERE a.id < 50 " +
           "RETURN a.id AS src_id, b.id AS dst_id, count(*) AS n_paths")),
+    // shortestPath over a bounded var-length hop: minimal hop count per
+    // reachable (src, dst) pair from low-id sources (hash-agg reduction,
+    // the source filter pushes through the aggregate's grouping key)
+    "cy_shortest" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH p = shortestPath((a)-[e*1..2]->(b)) WHERE a.id < 20 " +
+          "RETURN a.id AS src_id, b.id AS dst_id, length(p) AS l")),
     // temporal node property histories: latest value per node at the
     // half-span timestamp via propertyAt (one hash aggregate) over a
     // (vid, prop, ts, value) event log derived from orders
@@ -741,6 +748,18 @@ object Queries2 {
          |       WHERE e1.src < 50),
          |allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
          |SELECT a AS src_id, b AS dst_id, CAST(count(*) AS BIGINT) AS n_paths
+         |FROM allp GROUP BY a, b""".stripMargin,
+    // 1-hop events beat 2-hop chains per endpoint pair; the 2-hop branch
+    // excludes same-event reuse exactly like cy_varlen's oracle
+    "cy_shortest" ->
+      s"""WITH $sqlGraph,
+         |p1 AS (SELECT src AS a, dst AS b, 1 AS l FROM ev WHERE src < 20),
+         |p2 AS (SELECT e1.src AS a, e2.dst AS b, 2 AS l FROM ev e1 JOIN ev e2
+         |       ON e2.src = e1.dst AND NOT (e1.src = e2.src AND e1.dst = e2.dst
+         |          AND e1.ts = e2.ts AND e1.seq = e2.seq)
+         |       WHERE e1.src < 20),
+         |allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         |SELECT a AS src_id, b AS dst_id, CAST(min(l) AS BIGINT) AS l
          |FROM allp GROUP BY a, b""".stripMargin,
     // latest-at-t per node over the property event log: arg_max by ts
     // (event times are unique: ts = o_orderkey), t = half the max ts

@@ -30,6 +30,13 @@ import graft.graph.LinkGraph
   *    Components.reach). A path's internal events also cross-check
   *    against every other edge variable and path of the same MATCH
   *    (array-membership / array-overlap on the accumulated event ids);
+  *  - named paths `p = <pattern>` (reference PatternPart,
+  *    cypher.pest:156-158 — parsed there, never executed): `p` binds the
+  *    path's relationship count, read via length(p)/size(p); and
+  *    shortestPath((a)-[*m..n]->(b)) / allShortestPaths(...) around one
+  *    variable-length hop — shortestPath keeps ONE row per endpoint pair
+  *    at the minimal hop count (hash aggregate), allShortestPaths every
+  *    tying path (semi-join against the pair minima);
   *  - multi-part queries: WITH [DISTINCT] items [ORDER BY] [LIMIT]
   *    [WHERE] chaining into further MATCH/UNWIND parts, and
   *    UNWIND <list> AS x (grammar raphtory-cypher/src/parser/
@@ -57,7 +64,8 @@ import graft.graph.LinkGraph
   *    labels(n), startNode/endNode(e), coalesce, toInteger/toFloat/
   *    toString/toBoolean, abs/sqrt/round/floor/ceil/sign, toUpper/
   *    toLower/trim/ltrim/rtrim/reverse/left/right/substring/replace/
-  *    split, size/length — all mapped to codegen'd Catalyst functions
+  *    split, range/head/last, size/length — all mapped to codegen'd
+  *    Catalyst functions
   *    (the reference grammar parses these shapes, cypher.pest Expr/
   *    FunctionInvocation, but its transpiler executes almost none);
   *  - RETURN items (var, var.prop, aliases, bare edge var = the whole
@@ -125,7 +133,13 @@ object Cypher {
   case class EdgePat(v: Option[String], label: Option[String], props: Map[String, Lit],
                      range: Option[(Long, Option[Long])],
                      leftToRight: Boolean, undirected: Boolean = false)
-  case class Chain(first: NodePat, hops: Seq[(EdgePat, NodePat)])
+  /** One pattern part: an optional named-path binding `p = ...`
+    * (reference PatternPart, cypher.pest:156-158 — parsed there, never
+    * executed; we bind `p` to its hop count, read via length(p)/size(p))
+    * and an optional shortestPath/allShortestPaths wrapper (shortest =
+    * 1/2) around a single variable-length hop. */
+  case class Chain(first: NodePat, hops: Seq[(EdgePat, NodePat)],
+                   pathVar: Option[String] = None, shortest: Int = 0)
   case class RetItem(expr: Expr, alias: Option[String])
 
   /** One reading clause of a (possibly multi-part) query. */
@@ -300,6 +314,32 @@ object Cypher {
         e = edgePat()
       }
       Chain(first, hops.result())
+    }
+
+    /** PatternPart (cypher.pest:156-158): `[p =] [shortestPath(|
+      * allShortestPaths(] <chain> [)]`. A chain proper always starts
+      * with '(', so a leading identifier is unambiguous. */
+    private def patternPart(): Chain = {
+      val pathVar = peek match {
+        case Some(TIdent(v)) if pos + 1 < toks.length && toks(pos + 1) == TPunct("=") =>
+          pos += 2; Some(v)
+        case _ => None
+      }
+      val shortest = peek match {
+        case Some(TIdent(s)) if s.equalsIgnoreCase("shortestPath") =>
+          pos += 1; expectPunct("("); 1
+        case Some(TIdent(s)) if s.equalsIgnoreCase("allShortestPaths") =>
+          pos += 1; expectPunct("("); 2
+        case _ => 0
+      }
+      val ch = chain()
+      if (shortest > 0) {
+        expectPunct(")")
+        require(ch.hops.length == 1 && ch.hops.head._1.range.isDefined,
+          "shortestPath/allShortestPaths takes exactly one variable-length relationship " +
+            "(e.g. shortestPath((a)-[*1..6]->(b)))")
+      }
+      ch.copy(pathVar = pathVar, shortest = shortest)
     }
 
     private def operand(): Expr = peek match {
@@ -499,8 +539,8 @@ object Cypher {
         if (optional) expectKw("MATCH")
         if (optional || kw("MATCH")) {
           val chains = Seq.newBuilder[Chain]
-          chains += chain()
-          while (punct(",")) chains += chain()
+          chains += patternPart()
+          while (punct(",")) chains += patternPart()
           val where = if (kw("WHERE")) Some(expr()) else None
           parts += MatchPart(chains.result(), where, optional)
         } else if (kw("UNWIND")) {
@@ -776,6 +816,12 @@ object Cypher {
       case FnN("startnode", Seq(VarRef(v))) if edgeVars.contains(v) => col(s"${v}_src")
       case FnN("endnode", Seq(VarRef(v))) if edgeVars.contains(v) => col(s"${v}_dst")
       case FnN("coalesce", as) if as.nonEmpty => coalesce(as.map(exprCol): _*)
+      // list constructors/accessors: range(a, b[, step]) is INCLUSIVE of
+      // b (openCypher, matching Spark's sequence); head/last of [] = NULL
+      case FnN("range", Seq(a, b)) => sequence(exprCol(a), exprCol(b))
+      case FnN("range", Seq(a, b, st)) => sequence(exprCol(a), exprCol(b), exprCol(st))
+      case FnN("head", Seq(a)) => element_at(exprCol(a), 1)
+      case FnN("last", Seq(a)) => element_at(exprCol(a), -1)
       case FnN("tointeger", Seq(a)) => exprCol(a).cast("long")
       case FnN("tofloat", Seq(a)) => exprCol(a).cast("double")
       case FnN("tostring", Seq(a)) => exprCol(a).cast("string")
@@ -918,7 +964,7 @@ object Cypher {
       def namedNp(np: NodePat): NodePat =
         if (np.v.isDefined) np else np.copy(v = Some(freshEdge()))
       val chains = part.chains.map(ch =>
-        Chain(namedNp(ch.first), ch.hops.map { case (e, n) => (e, namedNp(n)) }))
+        ch.copy(first = namedNp(ch.first), hops = ch.hops.map { case (e, n) => (e, namedNp(n)) }))
 
       // edge + var-length path variables assembled by THIS match part
       // (for the pairwise relationship-uniqueness filters below)
@@ -926,6 +972,9 @@ object Cypher {
       val partPaths = Seq.newBuilder[String]
 
       for (ch <- chains) {
+        // per-hop length contributions of a named path (fixed hop = 1,
+        // var-length hop = its len column); bound after the chain plans
+        val hopLens = Seq.newBuilder[Column]
         if (ch.hops.isEmpty) {
           // node-only pattern: scan the node table
           val v = ch.first.v.getOrElse(freshEdge())
@@ -958,7 +1007,9 @@ object Cypher {
                   "(unbounded closure = Components.reach / inComponentOf)"))
               require(rLo >= 1 && rHi >= rLo && rHi <= 8,
                 s"variable-length bounds must satisfy 1 <= m <= n <= 8, got *$rLo..$rHi")
-              partPaths += ev
+              // a shortestPath-reduced frame exposes only endpoints + the
+              // min hop count — no event bindings survive to cross-check
+              if (ch.shortest != 1) partPaths += ev
             } else partEdges += ev
             // the columns the chain's left/right nodes bind to: storage
             // src/dst for directed arrows, the orientation-exploded __a/__b
@@ -971,7 +1022,24 @@ object Cypher {
               if (isVarLen) {
                 val (rLo, rHi) = (edge.range.get._1.toInt, edge.range.get._2.get.toInt)
                 edge.v.foreach(v => varLenVars(v) = s"${ev}_len")
-                pathFrame(ev, edge, rLo, rHi)
+                val pf = pathFrame(ev, edge, rLo, rHi)
+                ch.shortest match {
+                  // shortestPath: ONE row per endpoint pair at the minimal
+                  // hop count (a hash aggregate, no window/sort)
+                  case 1 =>
+                    pf.groupBy(col(s"${ev}__a"), col(s"${ev}__b"))
+                      .agg(min(col(s"${ev}_len")).as(s"${ev}_len"))
+                  // allShortestPaths: every path whose length equals the
+                  // pair minimum (semi-join against the aggregated mins)
+                  case 2 =>
+                    val mins = pf.groupBy(col(s"${ev}__a").as("_ma"), col(s"${ev}__b").as("_mb"))
+                      .agg(min(col(s"${ev}_len")).as("_ml"))
+                    pf.join(mins,
+                      col(s"${ev}__a") === col("_ma") && col(s"${ev}__b") === col("_mb")
+                        && col(s"${ev}_len") === col("_ml"))
+                      .drop("_ma", "_mb", "_ml")
+                  case _ => pf
+                }
               } else edgeFrame(ev, edge)
             // shared node vars become equi-join conditions against the new
             // frame; bindings only take effect after conds are computed
@@ -988,8 +1056,21 @@ object Cypher {
             mergeOn(df2, conds.result())
             leftNode.v.foreach(v => if (!bound.contains(v)) bound(v) = leftCol)
             rightNode.v.foreach(v => if (!bound.contains(v)) bound(v) = rightCol)
+            hopLens += (if (isVarLen) col(s"${ev}_len") else lit(1L))
             leftNode = rightNode
           }
+        }
+        // named path `p = ...`: bind p to its relationship count, read
+        // via length(p)/size(p) like a var-length edge variable
+        ch.pathVar.foreach { pv =>
+          require(!bound.contains(pv) && !edgeVars.contains(pv) && !varLenVars.contains(pv)
+            && !valueVars.contains(pv), s"path variable $pv is already bound")
+          val lenExpr = hopLens.result() match {
+            case Seq() => lit(0L)
+            case ls => ls.reduce(_ + _).cast("long")
+          }
+          acc = acc.withColumn(s"${pv}_len", lenExpr)
+          varLenVars(pv) = s"${pv}_len"
         }
       }
       require(acc != null, "empty MATCH")

@@ -579,6 +579,49 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("named paths: length(p) over fixed, var-length and mixed chains") {
+    // fixed two-hop chain: every row has length 2
+    val fixed = Cypher.run(g, "MATCH p = (a)-[e]->(b)-[f]->(c) " +
+      "RETURN length(p) AS l, count(*) AS n").collect()
+    assert(fixed.length == 1 && fixed.head.getLong(0) == 2L)
+    // mixed: fixed hop + var-length hop sums the len column
+    val mixed = Cypher.run(g, "MATCH p = (a {id: 0})-[e]->(b)-[f*1..2]->(c) " +
+      "RETURN length(p) AS l, length(f) AS lf").collect()
+    assert(mixed.forall(r => r.getLong(0) == 1L + r.getLong(1)))
+    // node-only named path has length 0
+    assert(Cypher.run(g, "MATCH p = (a {id: 3}) RETURN length(p) AS l")
+      .head().getLong(0) == 0L)
+    // rebinding a path variable is rejected
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH p = (a)-[e]->(b), p = (c)-[f]->(d) RETURN length(p) AS l")
+    }
+  }
+
+  test("shortestPath / allShortestPaths over a bounded var-length hop") {
+    // graph edges: 0->1, 1->2, 0->2, 2->3, 3->0, 2->0
+    // 0 to 3: direct chains 0->2->3 (len 2) and 0->1->2->3 (len 3)
+    val sp = Cypher.run(g, "MATCH p = shortestPath((a {id: 0})-[*1..4]->(b {id: 3})) " +
+      "RETURN length(p) AS l").collect()
+    assert(sp.length == 1 && sp.head.getLong(0) == 2L)
+    // 0 to 2: two tying 1-hop... no — direct 0->2 (1 hop) is unique min;
+    // 3 to 2: 3->0->2 and 3->0->1->2 -> min 2, unique
+    val all0 = Cypher.run(g, "MATCH shortestPath((a {id: 3})-[e*1..4]->(b {id: 2})) " +
+      "RETURN length(e) AS l").collect()
+    assert(all0.length == 1 && all0.head.getLong(0) == 2L)
+    // allShortestPaths keeps every tying path: 1 to 0 has 1->2->3->0 and
+    // 1->2->0 -> min 2 unique; 0 to 0 cycles: 0->2->0 and 0->1->2->0 ->
+    // min 2 via 0->2->0... also 0->2 then 2->0: exactly one 2-hop cycle?
+    // edges 0->2 (one event) and 2->0 (one event): ONE tying path
+    val asp = Cypher.run(g,
+      "MATCH allShortestPaths((a {id: 0})-[e*1..3]->(b {id: 0})) " +
+        "RETURN length(e) AS l, count(*) AS n").collect()
+    assert(asp.length == 1 && asp.head.getLong(0) == 2L && asp.head.getLong(1) == 1L)
+    // wrapper demands exactly one var-length hop
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH shortestPath((a)-[e]->(b)) RETURN count(*) AS n")
+    }
+  }
+
   test("aggregate DISTINCT: count/sum/avg over duplicated bindings") {
     // 6 edge events but only 4 distinct source nodes (0 and 2 appear twice)
     assert(Cypher.run(g, "MATCH (a)-[e]->() RETURN count(DISTINCT a.id) AS n")
@@ -619,6 +662,17 @@ class CypherSpec extends AnyFunSuite {
     val x = Cypher.run(g, "MATCH (a {id: 0}) RETURN " +
       "9007199254740993 / 1 AS big, -7 / 2 AS t").head()
     assert(x.getLong(0) == 9007199254740993L && x.getLong(1) == -3L)
+  }
+
+  test("UNWIND range() + head/last list accessors") {
+    // range is inclusive of the upper bound (openCypher)
+    val s = Cypher.run(g, "UNWIND range(1, 4) AS i RETURN sum(i * i) AS s")
+    assert(s.head().getLong(0) == 30L)
+    val r = Cypher.run(g, "MATCH (z {id: 0})-[e]->(b) " +
+      "WITH collect(b.id) AS outs RETURN head(outs) AS h, last(outs) AS l, " +
+      "head(range(0, 10, 5)) AS r0, last(range(0, 10, 5)) AS r2").head()
+    assert(Set(r.getLong(0), r.getLong(1)).subsetOf(Set(1L, 2L))
+      && r.getLong(2) == 0L && r.getLong(3) == 10L)
   }
 
   test("XOR precedence (OR < XOR < AND) and pow binding tighter than unary minus") {

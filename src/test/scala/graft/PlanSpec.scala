@@ -200,6 +200,36 @@ class PlanSpec extends AnyFunSuite {
     assert(byName == Map("1" -> 1L, "2" -> 1L, "3" -> 1L, "4" -> 0L))
   }
 
+  test("Cypher shortestPath: hash-agg reduction, source filter pushes below the aggregate") {
+    // the min-hop reduction must be a hash aggregate (no window/sort) and
+    // an equality/range restriction on the source — a grouping key — must
+    // reach below the aggregate into the path join chain, so a restricted
+    // shortestPath never enumerates the unrestricted pair space
+    import org.apache.spark.sql.execution.{SortExec, FilterExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    graft.bsp.IterativeConf.withStablePartitioning(spark) {
+      val edges0 = spark.range(0, 2000)
+        .select(col("id").as("src"), ((col("id") * 7 + 3) % 2000).as("dst"))
+        .withColumn("ts", col("src"))
+      val g = LinkGraph.fromRawEdges(edges0)
+      val df = graft.cypher.Cypher.run(g,
+        "MATCH p = shortestPath((a)-[e*1..2]->(b)) WHERE a.id < 20 " +
+          "RETURN a.id AS s, b.id AS d, length(p) AS l")
+      val exec = df.queryExecution.executedPlan
+      val s = exec.toString
+      assert(exec.collect { case x: SortExec => x }.isEmpty, s)
+      assert(exec.collect { case x: WindowExec => x }.isEmpty, s)
+      val aggs = exec.collect { case a: HashAggregateExec => a }
+      assert(aggs.nonEmpty, s)
+      val pushed = aggs.last.collect {
+        case f: FilterExec if f.condition.toString.contains("< 20") => f
+      }
+      assert(pushed.nonEmpty, s"source filter did not push below the aggregate:\n$s")
+      assert(df.count() > 0)
+    }
+  }
+
   test("superstep pipeline stays inside WholeStageCodegen (no interpreted hot path)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = docs.select(col("doc_id"),

@@ -37,8 +37,10 @@ import graft.graph.LinkGraph
   *    variable-length hop — shortestPath keeps ONE row per endpoint pair
   *    at the minimal hop count (hash aggregate), allShortestPaths every
   *    tying path (semi-join against the pair minima);
-  *  - multi-part queries: WITH [DISTINCT] items [ORDER BY] [LIMIT]
-  *    [WHERE] chaining into further MATCH/UNWIND parts, and
+  *  - multi-part queries: WITH [DISTINCT] *|items [ORDER BY] [LIMIT]
+  *    [WHERE] chaining into further MATCH/UNWIND parts (WITH * carries
+  *    the whole scope, optionally appending extra non-aggregate items;
+  *    RETURN *, items likewise), and
   *    UNWIND <list> AS x (grammar raphtory-cypher/src/parser/
   *    cypher.pest:26-55 MultiPartQuery/Unwind — the reference parses
   *    these but its transpiler `unimplemented!`s most arms,
@@ -146,9 +148,13 @@ object Cypher {
   sealed trait Part
   case class MatchPart(chains: Seq[Chain], where: Option[Expr],
                        optional: Boolean = false) extends Part
+  /** `star = true` for `WITH * [, extra items]`: the whole current scope
+    * carries through unchanged and extra (non-aggregate) items append as
+    * new value bindings. */
   case class WithPart(distinct: Boolean, items: Seq[RetItem],
                       orderBy: Seq[(Expr, Boolean)], skip: Option[Long],
-                      limit: Option[Long], where: Option[Expr]) extends Part
+                      limit: Option[Long], where: Option[Expr],
+                      star: Boolean = false) extends Part
   case class UnwindPart(list: Expr, alias: String) extends Part
 
   case class Query(parts: Seq[Part], distinct: Boolean,
@@ -549,14 +555,18 @@ object Cypher {
           parts += UnwindPart(list, ident())
         } else if (kw("WITH")) {
           // grammar order (openCypher / cypher.pest:32-55):
-          // WITH [DISTINCT] items [ORDER BY ...] [SKIP n] [LIMIT n] [WHERE ...]
+          // WITH [DISTINCT] *|items [, items] [ORDER BY] [SKIP] [LIMIT] [WHERE]
           val distinct = kw("DISTINCT")
-          val items = retItems()
+          val star = punct("*")
+          val items =
+            if (!star) retItems()
+            else if (punct(",")) retItems()
+            else Seq.empty
           val order = orderByOpt()
           val skip = skipOpt()
           val limit = limitOpt()
           val where = if (kw("WHERE")) Some(expr()) else None
-          parts += WithPart(distinct, items, order, skip, limit, where)
+          parts += WithPart(distinct, items, order, skip, limit, where, star)
         } else {
           expectKw("RETURN")
           sawReturn = true
@@ -565,8 +575,10 @@ object Cypher {
       val distinct = kw("DISTINCT")
       var returnAll = false
       val items = Seq.newBuilder[RetItem]
-      if (punct("*")) returnAll = true
-      else items ++= retItems()
+      if (punct("*")) {
+        returnAll = true
+        if (punct(",")) items ++= retItems() // RETURN *, extra AS x
+      } else items ++= retItems()
       val order = orderByOpt()
       val skip = skipOpt()
       val limit = limitOpt()
@@ -1122,6 +1134,27 @@ object Cypher {
 
     def planWith(part: WithPart): Unit = {
       require(acc != null, "WITH before any MATCH/UNWIND")
+      if (part.star) {
+        // WITH *: the whole scope carries through unchanged (bindings,
+        // edge rows, path lengths); extra non-aggregate items append as
+        // new value bindings computed in place
+        require(part.items.forall(it => !topAgg(it.expr)),
+          "WITH * cannot mix aggregates — name the grouping keys explicitly")
+        names(part.items).zip(part.items).foreach { case (n, RetItem(e, _)) =>
+          val c = exprCol(e) // may lazily join the node table onto acc
+          acc = acc.withColumn(n, c)
+          valueVars(n) = n
+        }
+        if (part.distinct) acc = acc.dropDuplicates()
+        if (part.orderBy.nonEmpty) acc = acc.orderBy(resolveOrder(acc, part.orderBy): _*)
+        part.skip.foreach(n => acc = acc.offset(n.toInt))
+        part.limit.foreach(n => acc = acc.limit(n.toInt))
+        part.where.foreach { w =>
+          val pred = exprCol(w)
+          acc = acc.filter(pred)
+        }
+        return
+      }
       val itemNames = names(part.items)
       var out = projectItems(part.items, itemNames)
       if (part.distinct) out = out.dropDuplicates()
@@ -1257,9 +1290,18 @@ object Cypher {
     var out: DataFrame =
       if (q.returnAll) {
         // every named binding's columns: node vids (+ joined node cols),
-        // full edge rows, and value columns, in binding order
+        // full edge rows, and value columns, in binding order; extra
+        // `RETURN *, expr AS x` items append after them
+        require(q.items.forall(it => !topAgg(it.expr)),
+          "RETURN * cannot mix aggregates — name the grouping keys explicitly")
+        // snapshot which node tables the * set includes BEFORE extras
+        // lazily join more (an extra's a.prop read must not widen *)
+        val joinedBefore = nodeJoined.toSet
+        val extraCols = q.items.zip(itemNames).map { case (RetItem(e, _), n) =>
+          exprCol(e).as(n)
+        }
         val nodeCols = bound.toSeq.filter(kv => !synth(kv._1)).flatMap { case (v, c) =>
-          val extra = if (nodeJoined(v))
+          val extra = if (joinedBefore(v))
             g.nodes.columns.toSeq.filter(_ != "vid").map(n => col(s"${v}_$n"))
           else Seq.empty
           (col(c).as(s"${v}_vid") +: extra)
@@ -1267,7 +1309,7 @@ object Cypher {
         val eCols = edgeVars.toSeq.filter(kv => !synth(kv._1)).flatMap(_._2.map(col))
         val lenCols = varLenVars.toSeq.filter(kv => !synth(kv._1)).map(kv => col(kv._2))
         val vCols = valueVars.values.toSeq.map(col)
-        acc.select((nodeCols ++ eCols ++ lenCols ++ vCols): _*)
+        acc.select((nodeCols ++ eCols ++ lenCols ++ vCols ++ extraCols): _*)
       } else projectItems(q.items, itemNames)
     if (q.distinct) out = out.dropDuplicates()
     if (q.orderBy.nonEmpty) out = out.orderBy(resolveOrder(out, q.orderBy): _*)

@@ -85,6 +85,37 @@ object StreamIngest {
       .toDF(keyCol, "n_events", "last_ts")
   }
 
+  /** Streaming exact dedup for a live training-data ingest: emit each
+    * content hash's FIRST document only, across micro-batches — the live
+    * analogue of `dedup.Dedup.exactGroups`' keep-one row. Keyed by the
+    * content-hash column; per-key state is a single seen marker in the
+    * streaming state store (checkpointed — replay cannot re-emit a hash;
+    * state is hash-partitioned across executors like any keyed state, so
+    * the operator scales with the key space, not the stream length).
+    * Within one micro-batch the kept row is the min doc id (deterministic
+    * under shuffle). Use with append output mode. */
+  def dedupStream(docs: DataFrame, idCol: String = "doc_id",
+                  hashCol: String = "content_hash"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.select(col(hashCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (hash, rows, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            var keep = Long.MaxValue
+            rows.foreach { case (_, id) => if (id < keep) keep = id }
+            Iterator((hash, keep))
+          }
+      }
+      .toDF(hashCol, idCol)
+  }
+
   /** Batch rolling windows over an edge-event table: one row per
     * (window_start, window_end) with edge/node activity counts —
     * `g.rolling(w, s)` as a single windowed aggregation. Exact distinct:

@@ -182,16 +182,22 @@ object Vectors {
 
     private def topK(df: DataFrame, k: Int): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(desc("score"), asc("kind"), asc("vid"), asc("src"), asc("dst"))
-      df.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      // distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+      // (per-partition partial top-k, one k-row merge) — the ordering is
+      // total, so this equals the former global row_number window without
+      // single-partitioning the whole scored set; the rank window then
+      // runs over k rows only
+      val keys = Seq(desc("score"), asc("kind"), asc("vid"), asc("src"), asc("dst"))
+      val top = df.orderBy(keys: _*).limit(k)
+      val w = Window.orderBy(keys: _*)
+      top.withColumn("rank", row_number().over(w).cast("long"))
         .select(col("rank"), col("kind"), col("vid"), col("src"), col("dst"),
           col("name"), col("score"))
     }
 
-    /** Top `k` documents by cosine (vectorised_graph.rs:163-184). The
-      * global top-k window over the scored set is a single-partition sort
-      * of n pre-filtered rows — at scale swap in Ann's LSH/IVF buckets;
-      * this is the reference-parity exact path. */
+    /** Top `k` documents by cosine (vectorised_graph.rs:163-184) — the
+      * exact reference-parity path (distributed TakeOrdered top-k); at
+      * scale swap in Ann's LSH/IVF buckets to avoid scoring every row. */
     def documentsBySimilarity(query: Array[Double], k: Int,
                               window: Option[(Long, Long)] = None): DataFrame =
       topK(scored(typedLit(query), windowed(window)), k)
@@ -226,9 +232,8 @@ object Vectors {
         .join(sel, Seq("vid"), "left_anti")
       val cands = scored(typedLit(query),
         documents.filter(col("kind") === "node").join(nbrs, Seq("vid"), "left_semi"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(desc("score"), asc("vid"))
-      val added = cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= limit)
+      // no rank in the output — a plain distributed TakeOrdered top-k
+      val added = cands.orderBy(desc("score"), asc("vid")).limit(limit)
         .select(col("vid"))
       sel.union(added)
     }

@@ -579,6 +579,29 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("WITH * carries the whole scope; extra items append; RETURN *, extras") {
+    // WITH * keeps node/edge bindings usable by later parts
+    val rows = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WITH * WHERE e.ts < 4 " +
+        "RETURN a.id AS s, b.id AS d, e.ts AS t").collect()
+    assert(rows.length == 3) // ts 1, 2, 3
+    // WITH *, extra item binds a new value column computed in scope
+    val ext = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WITH *, e.ts * 10 AS tt WHERE tt >= 40 " +
+        "RETURN a.id AS s, tt ORDER BY tt").collect()
+    assert(ext.map(_.getLong(1)).toSeq == Seq(40L, 50L, 60L))
+    // RETURN *, extra appends after the * columns
+    val star = Cypher.run(g, "MATCH (a)-[e]->(b) WHERE e.ts = 1 RETURN *, e.ts + 1 AS nxt")
+    assert(star.columns.last == "nxt" && star.head().getAs[Long]("nxt") == 2L)
+    // aggregates cannot ride along a star projection
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a)-[e]->(b) WITH *, count(*) AS n RETURN n")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a)-[e]->(b) RETURN *, count(*) AS n")
+    }
+  }
+
   test("named paths: length(p) over fixed, var-length and mixed chains") {
     // fixed two-hop chain: every row has length 2
     val fixed = Cypher.run(g, "MATCH p = (a)-[e]->(b)-[f]->(c) " +

@@ -63,6 +63,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first-seen hash wins within and across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val deduped = StreamIngest.dedupStream(input.toDF().toDF("content_hash", "doc_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // h1 duplicated WITHIN the batch (min id 3 kept), h2 unique
+      input.addData(("h1", 7L), ("h1", 3L), ("h2", 5L))
+      q.processAllAvailable()
+      val b1 = spark.table("dedup_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(b1 == Map("h1" -> 3L, "h2" -> 5L))
+      // h1/h2 re-arrive ACROSS batches -> suppressed by state; h3 new
+      input.addData(("h1", 1L), ("h2", 9L), ("h3", 8L))
+      q.processAllAvailable()
+      val all = spark.table("dedup_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(all.length == 3 && all.toMap == Map("h1" -> 3L, "h2" -> 5L, "h3" -> 8L))
+    } finally q.stop()
+  }
+
   test("watermarked rolling counts shape") {
     val events = Corpus.pages(spark, 30L, 2).toDF()
       .select(col("url").as("src_url"), col("url").as("dst_url"),

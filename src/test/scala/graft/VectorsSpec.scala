@@ -98,6 +98,21 @@ class VectorsSpec extends AnyFunSuite {
     assert(top.forall(_.getAs[String]("kind") == "node"))
   }
 
+  test("similarity top-k is a distributed TakeOrdered, not a global window sort") {
+    // the ranked search must compile to TakeOrderedAndProject (partial
+    // per-partition top-k + one k-row merge); the rank window may only
+    // run ABOVE the k-row limit, never over the whole scored set
+    val v = Vectors.vectorise(g, tpl)
+    val q = Array.fill(32)(1.0 / math.sqrt(32))
+    val plan = v.nodesBySimilarity(q, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val expand = v.expandNodesBySimilarity(
+      spark.range(1).select(lit(0L).as("vid")), q, 1)
+    val eplan = expand.queryExecution.executedPlan.toString
+    assert(eplan.contains("TakeOrderedAndProject"), eplan)
+    assert(!eplan.contains("Window"), eplan)
+  }
+
   test("window filters documents by entity lifespan") {
     val v = Vectors.vectorise(g, tpl)
     val q = Array.fill(32)(1.0 / math.sqrt(32))

@@ -307,6 +307,12 @@ object Queries2 {
         s"MATCH ()-[e]->() WHERE e.ts < $t RETURN e.src AS s, e.dst AS d " +
           "UNION MATCH ()-[f]->(b) WHERE f.src = f.dst RETURN f.src AS s, f.dst AS d")
     }),
+    // WITH * carries the whole scope (node/edge bindings stay usable),
+    // extra items append as new value bindings, WHERE filters in scope
+    "cy_star" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[e]->(b) WITH *, e.ts % 7 AS w WHERE w < 3 " +
+          "RETURN a.id AS src, b.id AS dst, e.ts AS ts, w")),
     // variable-length paths (openCypher RangeLiteral — the reference
     // parses it, cypher.pest:203, but never executes it): per (start,end)
     // pair the number of 1..2-hop event paths from low-id sources, with
@@ -737,6 +743,10 @@ object Queries2 {
          |tt AS (SELECT (max(ts) + 1) // 2 AS t FROM ev)
          |SELECT DISTINCT src AS s, dst AS d FROM ev, tt
          |WHERE ts < tt.t OR src = dst""".stripMargin,
+    "cy_star" ->
+      s"""WITH $sqlGraph
+         |SELECT src, dst, ts, CAST(ts % 7 AS BIGINT) AS w
+         |FROM ev WHERE ts % 7 < 3""".stripMargin,
     // 1-hop events + 2-hop event chains (distinct events: ts = seq =
     // o_orderkey identifies the event) grouped by path endpoints
     "cy_varlen" ->

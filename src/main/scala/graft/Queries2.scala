@@ -313,6 +313,15 @@ object Queries2 {
       graft.cypher.Cypher.run(graph(s, d),
         "MATCH (a)-[e]->(b) WITH *, e.ts % 7 AS w WHERE w < 3 " +
           "RETURN a.id AS src, b.id AS dst, e.ts AS ts, w")),
+    // pattern predicates: NOT (b)-->() anti-filters through the
+    // decorrelated key-distinct left join; exists(pattern) projects a
+    // boolean alongside (events into sink nodes, flagged by the source
+    // also being a sink itself)
+    "cy_exists" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[e]->(b) WHERE NOT (b)-[]->() " +
+          "RETURN a.id AS src, b.id AS dst, e.ts AS ts, " +
+          "toInteger(exists((a)-[]->({id: 0}))) AS to_zero")),
     // variable-length paths (openCypher RangeLiteral — the reference
     // parses it, cypher.pest:203, but never executes it): per (start,end)
     // pair the number of 1..2-hop event paths from low-id sources, with
@@ -743,6 +752,11 @@ object Queries2 {
          |tt AS (SELECT (max(ts) + 1) // 2 AS t FROM ev)
          |SELECT DISTINCT src AS s, dst AS d FROM ev, tt
          |WHERE ts < tt.t OR src = dst""".stripMargin,
+    "cy_exists" ->
+      s"""WITH $sqlGraph
+         |SELECT src, dst, ts,
+         |  CAST(EXISTS (SELECT 1 FROM ev z WHERE z.src = e.src AND z.dst = 0) AS BIGINT) AS to_zero
+         |FROM ev e WHERE dst NOT IN (SELECT src FROM ev)""".stripMargin,
     "cy_star" ->
       s"""WITH $sqlGraph
          |SELECT src, dst, ts, CAST(ts % 7 AS BIGINT) AS w

@@ -123,6 +123,13 @@ object Cypher {
   case class CaseExpr(subject: Option[Expr], whens: Seq[(Expr, Expr)],
                       els: Option[Expr]) extends Expr
   case class IsNull(e: Expr, not: Boolean) extends Expr
+  /** Boolean pattern predicate: a bare pattern expression in a WHERE /
+    * RETURN position (`WHERE (a)-[:x]->(b)`), the legacy function form
+    * `exists((a)-->(b))`, or an `EXISTS { [MATCH] pattern [WHERE ...] }`
+    * subquery (openCypher; the reference grammar's PatternWhere arm,
+    * cypher.pest:141-158, which its transpiler never executes). Planned
+    * as a decorrelated key-distinct left join — see existsCol. */
+  case class PatternPred(chain: Chain, where: Option[Expr]) extends Expr
 
   case class NodePat(v: Option[String], label: Option[String], props: Map[String, Lit])
   /** `undirected = true` for `-[e]-`: the pattern matches each event in
@@ -349,7 +356,21 @@ object Cypher {
     }
 
     private def operand(): Expr = peek match {
-      case Some(TPunct("(")) => punct("("); val e = expr(); expectPunct(")"); e
+      case Some(TPunct("(")) =>
+        // a '(' in expression position is either a pattern expression
+        // ((a)-[e]->(b), boolean pattern predicate) or a parenthesized
+        // expression — try the pattern first and backtrack (pos is the
+        // only parser state) when it has no hop or fails to parse
+        val save = pos
+        val pat =
+          try {
+            val ch = chain()
+            if (ch.hops.nonEmpty) Some(ch) else { pos = save; None }
+          } catch { case _: Exception => pos = save; None }
+        pat match {
+          case Some(ch) => PatternPred(ch, None)
+          case None => punct("("); val e = expr(); expectPunct(")"); e
+        }
       case Some(TPunct("[")) => // list literal (UNWIND [1, 2, 3] AS x)
         punct("[")
         val items = Seq.newBuilder[Expr]
@@ -375,7 +396,17 @@ object Cypher {
         CaseExpr(subject, ws, els)
       case Some(_: TIdent) =>
         val v = ident()
-        if (punct("(")) { // function call: count(*) / count(x) / sum / type / ...
+        if (v.equalsIgnoreCase("EXISTS") && peek.contains(TPunct("{"))) {
+          // EXISTS { [MATCH] pattern [WHERE expr] } subquery; the legacy
+          // exists(pattern) form needs no special case — its argument
+          // parses as a pattern expression through the '(' arm above
+          punct("{")
+          kw("MATCH")
+          val ch = chain()
+          val where = if (kw("WHERE")) Some(expr()) else None
+          expectPunct("}")
+          PatternPred(ch, where)
+        } else if (punct("(")) { // function call: count(*) / count(x) / sum / type / ...
           if (v.equalsIgnoreCase("count") && punct("*")) { expectPunct(")"); Fn("count", None) }
           else {
             // openCypher aggregate-DISTINCT: count(DISTINCT x), collect(DISTINCT x), ...
@@ -739,6 +770,47 @@ object Cypher {
       case _ => false
     }
 
+    /** Pattern predicate / EXISTS subquery as a BOOLEAN column. Planned
+      * decorrelated, the way Catalyst rewrites correlated EXISTS: the
+      * subpattern is planned as its own full query (recursive plan call
+      * — labels, property maps, multi-hop chains, relationship
+      * uniqueness and an inner WHERE all come for free), projected to
+      * the DISTINCT tuple of its correlated node variables (the ones
+      * already bound in the outer scope), and LEFT-joined back onto the
+      * frame with a constant-true marker; the predicate is
+      * coalesce(marker, false). One key-distinct join per predicate —
+      * no per-row subquery, no row multiplication (the key side is
+      * distinct), NULL outer bindings (OPTIONAL MATCH) correctly yield
+      * false, and a small key set broadcasts under AQE. */
+    var existsN = 0
+    def existsCol(ch: Chain, where: Option[Expr]): Column = {
+      require(acc != null, "pattern predicate before any MATCH/UNWIND")
+      val patVars = (ch.first.v +: ch.hops.map(_._2.v)).flatten
+      val corr = patVars.distinct.filter(bound.contains)
+      require(corr.nonEmpty,
+        "pattern predicate must share at least one bound node variable with the outer query")
+      // a pattern variable that names an outer value/edge/path binding
+      // would silently scan fresh instead of correlating — reject loudly
+      val shadowed = patVars.distinct.filterNot(bound.contains)
+        .filter(v => valueVars.contains(v) || edgeVars.contains(v) || varLenVars.contains(v))
+      require(shadowed.isEmpty,
+        s"pattern-predicate node variables must be node bindings or fresh: ${shadowed.mkString(",")}")
+      val reused = ch.hops.flatMap(_._1.v).filter(v =>
+        edgeVars.contains(v) || varLenVars.contains(v) || bound.contains(v) || valueVars.contains(v))
+      require(reused.isEmpty,
+        s"pattern-predicate relationship variables must be fresh: ${reused.mkString(",")}")
+      existsN += 1
+      val tag = s"__ex$existsN"
+      val keys = corr.zipWithIndex.map { case (v, i) => v -> s"${tag}_k$i" }
+      val items = keys.map { case (v, n) => RetItem(VarRef(v), Some(n)) }
+      val sub = plan(g, Query(Seq(MatchPart(Seq(ch), where)), distinct = true,
+        returnAll = false, items, Seq.empty, None, None))
+        .withColumn(tag, lit(true))
+      val cond = keys.map { case (v, n) => col(bound(v)) === col(n) }.reduce(_ && _)
+      acc = acc.join(sub, cond, "left").drop(keys.map(_._2): _*)
+      coalesce(col(tag), lit(false))
+    }
+
     def exprCol(e: Expr): Column = e match {
       case Lit(v) => lit(v)
       case ListLit(items) => array(items.map(exprCol): _*)
@@ -810,6 +882,11 @@ object Cypher {
         els.map(x => chained.otherwise(exprCol(x))).getOrElse(chained)
       case IsNull(x, false) => exprCol(x).isNull
       case IsNull(x, true) => exprCol(x).isNotNull
+      case p: PatternPred => existsCol(p.chain, p.where)
+      // legacy exists(): pattern argument = pattern predicate; any other
+      // argument = property-existence test (openCypher exists(n.prop))
+      case FnN("exists", Seq(p: PatternPred)) => exprCol(p)
+      case FnN("exists", Seq(a)) => exprCol(a).isNotNull
       case f: FnN => scalarFn(f)
       case Fn(n, _, _) => throw new IllegalArgumentException(
         s"aggregate $n only valid as a top-level RETURN/WITH item")

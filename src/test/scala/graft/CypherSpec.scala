@@ -602,6 +602,68 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("pattern predicates: bare pattern, NOT, EXISTS subquery, exists() fn") {
+    // (b)-[:b]->() — b has an outgoing layer-b edge: b ∈ {0, 2}
+    val out = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WHERE (b)-[:b]->() RETURN a.id AS s, b.id AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((3L, 0L), (2L, 0L), (1L, 2L), (0L, 2L)))
+    // NOT pattern — b has NO outgoing layer-b edge: b ∈ {1, 3}
+    val non = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WHERE NOT (b)-[:b]->() RETURN a.id AS s, b.id AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(non == Set((0L, 1L), (2L, 3L)))
+    // EXISTS { MATCH ... WHERE ... }: sources with a late out-event
+    val late = Cypher.run(g,
+      "MATCH (a) WHERE EXISTS { MATCH (a)-[f]->(c) WHERE f.ts >= 5 } RETURN a.id AS id")
+      .collect().map(_.getLong(0)).toSet
+    assert(late == Set(2L, 3L))
+    // legacy exists(pattern) in RETURN position — a boolean per node
+    val has = Cypher.run(g,
+      "MATCH (a) RETURN a.id AS id, exists((a)-[:b]->()) AS has ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(has == Seq((0L, true), (1L, false), (2L, true), (3L, false)))
+    // exists(n.prop) stays a property-existence test
+    assert(Cypher.run(g, "MATCH (a) WHERE exists(a.name) RETURN count(*) AS n")
+      .head().getLong(0) == 4L)
+  }
+
+  test("pattern predicates: multi-hop, OR composition, parenthesized exprs intact") {
+    // two-hop pattern with an anonymous middle and a property-map end:
+    // b reaches node 0 in exactly 2 hops (distinct events) — b ∈ {0,1,2}
+    val two = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WHERE (b)-[]->()-[]->({id: 0}) RETURN a.id AS s, b.id AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(two.map(_._2) == Set(0L, 1L, 2L))
+    assert(two.size == 5)
+    // composes with OR like any boolean
+    val orred = Cypher.run(g,
+      "MATCH (a)-[e]->(b) WHERE (b)-[:b]->() OR b.id = 3 RETURN count(*) AS n")
+      .head().getLong(0)
+    assert(orred == 5L) // the 4 layer-b rows + 2→3
+    // parenthesized arithmetic/boolean expressions still parse
+    assert(Cypher.run(g, "MATCH (a) WHERE (a.id + 1) * 2 = 4 RETURN a.id AS id")
+      .head().getLong(0) == 1L)
+    assert(Cypher.run(g, "MATCH (a) WHERE (a.id = 1 OR a.id = 2) AND a.id <> 2 " +
+      "RETURN a.id AS id").head().getLong(0) == 1L)
+  }
+
+  test("pattern predicates: correlation and freshness are enforced") {
+    // no shared bound node variable
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a) WHERE (x)-[]->(y) RETURN a.id AS id").collect()
+    }
+    // relationship variable reuse from the outer scope
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a)-[e]->(b) WHERE (a)-[e]->() RETURN a.id AS id").collect()
+    }
+    // pattern node variable shadowing an outer WITH value binding
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a) WITH a.id AS x MATCH (m) WHERE (x)-[]->(m) " +
+        "RETURN m.id AS id").collect()
+    }
+  }
+
   test("named paths: length(p) over fixed, var-length and mixed chains") {
     // fixed two-hop chain: every row has length 2
     val fixed = Cypher.run(g, "MATCH p = (a)-[e]->(b)-[f]->(c) " +

@@ -77,6 +77,37 @@ object Dedup {
     shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-row minhash signature as ONE array column — the shuffle-free
+    * form of [[minhashWide]] (identical shingling, hash family, and
+    * geometry; byte-parity spec in StreamingSpec). Row-local evaluation
+    * makes it legal on a STREAMING DataFrame (minhashWide's groupBy
+    * would be a second stateful operator before the LSH state join) and
+    * is also the cheaper batch plan when the doc row is already in hand:
+    * no shingle explode, no shuffle, no re-group. */
+  def minhashSigArray(textCol: Column, nHashes: Int = 16, shingleN: Int = 5): Column = {
+    // same shingling as TextOps.charShingles (short texts yield one
+    // short shingle; min over the multiset == min over the distinct set)
+    val shingles = transform(
+      sequence(lit(1), greatest(length(textCol) - lit(shingleN - 1), lit(1))),
+      i => textCol.substr(i, lit(shingleN)))
+    val hs = transform(shingles, sh => TextOps.md5u32(sh))
+    array((0 until nHashes).map { s =>
+      array_min(transform(hs, h => pmod(lit(mixA(s)) * h + lit(mixB(s)), lit(1L << 32))))
+    }: _*)
+  }
+
+  /** Per-row LSH band bucket ids from a signature array: `bands` md5
+    * bucket ids, byte-identical to [[lshBucketsWide]]'s (same sorted
+    * "seed:minhash" entry encoding). */
+  def bandBucketArray(sig: Column, bands: Int = 4, nHashes: Int = 16): Column = {
+    val rows = nHashes / bands
+    array((0 until bands).map { b =>
+      val entries = (b * rows until (b + 1) * rows)
+        .map(s => concat_ws(":", lit(s), element_at(sig, s + 1)))
+      md5(concat_ws(",", sort_array(array(entries: _*))).cast("binary"))
+    }: _*)
+  }
+
   /** MinHash signatures in long form: (id, seed, minhash) with seeds
     * 0..nHashes-1 — a narrow explode over the wide form (same hashes). */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.dedup.Dedup
 
 /** Streaming ingestion & windowed analytics.
   *
@@ -114,6 +115,57 @@ object StreamIngest {
           }
       }
       .toDF(hashCol, idCol)
+  }
+
+  /** Streaming MinHash-LSH near-duplicate detection for a live ingest:
+    * the banded batch path (Dedup.minhashNearDups) as one stateful
+    * operator. Each arriving doc's signature is computed ROW-LOCALLY
+    * (Dedup.minhashSigArray — no shuffle before the state op), exploded
+    * to its band buckets, and compared inside its bucket's state-store
+    * group against the signatures seen there before. Emits (a, b,
+    * sig_agreement) for pairs whose signatures agree on >= `minAgree`
+    * of the hashes — signature agreement is the unbiased Jaccard
+    * estimate, the streaming stand-in for the batch exact-Jaccard
+    * verify. 100-TB shape: state is hash-partitioned by bucket key
+    * across executors; per-bucket state is HARD-capped at `bucketCap`
+    * signatures — a hot boilerplate bucket stops accumulating (the
+    * guard the batch path applies as maxBucketSize), so state is
+    * O(buckets × cap), not O(stream). A pair sharing k band buckets is
+    * emitted up to k times; dedup downstream (idempotent sink merge or
+    * per-batch distinct). Append mode; checkpointed state makes replay
+    * emit-once per (bucket, id). */
+  def nearDupStream(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                    nHashes: Int = 16, bands: Int = 4, shingleN: Int = 5,
+                    minAgree: Double = 0.7, bucketCap: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sig = Dedup.minhashSigArray(col(textCol), nHashes, shingleN)
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), sig.as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(Dedup.bandBucketArray(col("sig"), bands, nHashes)).as(Seq("band", "bucket")))
+      .select(concat_ws("/", col("band"), col("bucket")).as("key"), col("id"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        var seen = state.getOption.getOrElse(Seq.empty)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        // id order within the micro-batch: deterministic under shuffle
+        for ((_, id, sg) <- rows.toSeq.sortBy(_._2)) {
+          if (seen.length < bucketCap && !seen.exists(_._1 == id)) {
+            for ((oid, osig) <- seen) {
+              val agree = sg.zip(osig).count { case (x, y) => x == y }.toDouble / nHashes
+              if (agree >= minAgree) out += ((math.min(id, oid), math.max(id, oid), agree))
+            }
+            seen = seen :+ ((id, sg))
+          }
+        }
+        state.update(seen)
+        out.result().iterator
+      }
+      .toDF("a", "b", "sig_agreement")
   }
 
   /** Batch rolling windows over an edge-event table: one row per

@@ -87,6 +87,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("per-row minhash signature/buckets are byte-identical to the batch forms") {
+    import graft.dedup.Dedup
+    val docs = Corpus.pages(spark, 99L, 3).toDF()
+      .select(monotonically_increasing_id().as("doc_id"), col("text"))
+      .limit(40).cache()
+    // signatures: minhashSigArray(text)[s] == minhashWide's mh<s>
+    val wide = Dedup.minhashWide(docs)
+    val perRow = docs.select(col("doc_id"), Dedup.minhashSigArray(col("text")).as("sig"))
+    val joined = wide.join(perRow, "doc_id")
+    val mismatch = (0 until 16).map(s =>
+      joined.filter(col(s"mh$s") =!= element_at(col("sig"), s + 1)).count()).sum
+    assert(mismatch == 0)
+    // buckets: bandBucketArray == lshBucketsWide (band, bucket) rows
+    val batchB = Dedup.lshBucketsWide(wide).select("doc_id", "band", "bucket")
+    val rowB = perRow.select(col("doc_id"),
+      posexplode(Dedup.bandBucketArray(col("sig"))).as(Seq("band", "bucket")))
+    assert(batchB.exceptAll(rowB).count() == 0 && rowB.exceptAll(batchB).count() == 0)
+  }
+
+  test("streaming LSH near-dup: pairs within and across batches, hot-bucket cap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different content about graph engines and sparks"
+    val input = MemoryStream[(Long, String)]
+    val dups = StreamIngest.nearDupStream(input.toDF().toDF("doc_id", "text"))
+    val q = dups.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two identical docs + one unrelated -> exactly pair (1,2)
+      input.addData((1L, t1), (2L, t1), (5L, t2))
+      q.processAllAvailable()
+      val b1 = spark.table("neardup_stream").select("a", "b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(b1 == Set((1L, 2L)))
+      // batch 2: a third copy arrives -> pairs with BOTH earlier copies
+      // (state carries the bucket membership across micro-batches)
+      input.addData((9L, t1))
+      q.processAllAvailable()
+      val all = spark.table("neardup_stream").select("a", "b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all == Set((1L, 2L), (1L, 9L), (2L, 9L)))
+      // agreement is 1.0 for identical texts
+      assert(spark.table("neardup_stream").select("sig_agreement")
+        .collect().forall(_.getDouble(0) == 1.0))
+    } finally q.stop()
+    // hot-bucket cap: capacity 2 -> the third identical doc is skipped
+    val capIn = MemoryStream[(Long, String)]
+    val capped = StreamIngest.nearDupStream(
+      capIn.toDF().toDF("doc_id", "text"), bucketCap = 2)
+    val q2 = capped.writeStream.format("memory").queryName("neardup_capped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      capIn.addData((1L, t1), (2L, t1), (3L, t1))
+      q2.processAllAvailable()
+      val rows = spark.table("neardup_capped").select("a", "b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 2L)))
+    } finally q2.stop()
+  }
+
   test("watermarked rolling counts shape") {
     val events = Corpus.pages(spark, 30L, 2).toDF()
       .select(col("url").as("src_url"), col("url").as("dst_url"),

@@ -322,6 +322,12 @@ object Queries2 {
         "MATCH (a)-[e]->(b) WHERE NOT (b)-[]->() " +
           "RETURN a.id AS src, b.id AS dst, e.ts AS ts, " +
           "toInteger(exists((a)-[]->({id: 0}))) AS to_zero")),
+    // COUNT subquery: correlated per-node match count (scalar, not an
+    // aggregate — nodes with no filtered out-event count 0)
+    "cy_count_sub" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a) RETURN a.id AS id, " +
+          "COUNT { MATCH (a)-[f]->(c) WHERE f.ts % 2 = 0 } AS n_even")),
     // variable-length paths (openCypher RangeLiteral — the reference
     // parses it, cypher.pest:203, but never executes it): per (start,end)
     // pair the number of 1..2-hop event paths from low-id sources, with
@@ -757,6 +763,11 @@ object Queries2 {
          |SELECT src, dst, ts,
          |  CAST(EXISTS (SELECT 1 FROM ev z WHERE z.src = e.src AND z.dst = 0) AS BIGINT) AS to_zero
          |FROM ev e WHERE dst NOT IN (SELECT src FROM ev)""".stripMargin,
+    "cy_count_sub" ->
+      s"""WITH $sqlGraph
+         |SELECT n.id, CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_even
+         |FROM nodes n LEFT JOIN (SELECT src, count(*) AS cnt FROM ev
+         |                        WHERE ts % 2 = 0 GROUP BY src) s ON s.src = n.id""".stripMargin,
     "cy_star" ->
       s"""WITH $sqlGraph
          |SELECT src, dst, ts, CAST(ts % 7 AS BIGINT) AS w

@@ -130,6 +130,12 @@ object Cypher {
     * cypher.pest:141-158, which its transpiler never executes). Planned
     * as a decorrelated key-distinct left join — see existsCol. */
   case class PatternPred(chain: Chain, where: Option[Expr]) extends Expr
+  /** Correlated match count: `COUNT { [MATCH] pattern [WHERE ...] }`
+    * subquery or the legacy `size((a)-->(b))` form — a scalar per outer
+    * row (NOT an aggregate), 0 when nothing matches. Planned like
+    * [[PatternPred]] but the decorrelated subquery aggregates count(*)
+    * per correlated-key tuple before the left join. */
+  case class PatternCount(chain: Chain, where: Option[Expr]) extends Expr
 
   case class NodePat(v: Option[String], label: Option[String], props: Map[String, Lit])
   /** `undirected = true` for `-[e]-`: the pattern matches each event in
@@ -396,16 +402,19 @@ object Cypher {
         CaseExpr(subject, ws, els)
       case Some(_: TIdent) =>
         val v = ident()
-        if (v.equalsIgnoreCase("EXISTS") && peek.contains(TPunct("{"))) {
-          // EXISTS { [MATCH] pattern [WHERE expr] } subquery; the legacy
-          // exists(pattern) form needs no special case — its argument
-          // parses as a pattern expression through the '(' arm above
+        if ((v.equalsIgnoreCase("EXISTS") || v.equalsIgnoreCase("COUNT"))
+            && peek.contains(TPunct("{"))) {
+          // EXISTS / COUNT { [MATCH] pattern [WHERE expr] } subqueries;
+          // the legacy exists(pattern) / size(pattern) forms need no
+          // special case — their arguments parse as pattern expressions
+          // through the '(' arm above
           punct("{")
           kw("MATCH")
           val ch = chain()
           val where = if (kw("WHERE")) Some(expr()) else None
           expectPunct("}")
-          PatternPred(ch, where)
+          if (v.equalsIgnoreCase("EXISTS")) PatternPred(ch, where)
+          else PatternCount(ch, where)
         } else if (punct("(")) { // function call: count(*) / count(x) / sum / type / ...
           if (v.equalsIgnoreCase("count") && punct("*")) { expectPunct(")"); Fn("count", None) }
           else {
@@ -783,7 +792,9 @@ object Cypher {
       * distinct), NULL outer bindings (OPTIONAL MATCH) correctly yield
       * false, and a small key set broadcasts under AQE. */
     var existsN = 0
-    def existsCol(ch: Chain, where: Option[Expr]): Column = {
+    /** Correlated node variables of a subpattern, with the freshness /
+      * correlation checks shared by existsCol and countCol. */
+    def patternCorr(ch: Chain): Seq[String] = {
       require(acc != null, "pattern predicate before any MATCH/UNWIND")
       val patVars = (ch.first.v +: ch.hops.map(_._2.v)).flatten
       val corr = patVars.distinct.filter(bound.contains)
@@ -799,17 +810,30 @@ object Cypher {
         edgeVars.contains(v) || varLenVars.contains(v) || bound.contains(v) || valueVars.contains(v))
       require(reused.isEmpty,
         s"pattern-predicate relationship variables must be fresh: ${reused.mkString(",")}")
+      corr
+    }
+    /** Plan a decorrelated subpattern and left-join it on its correlated
+      * keys; `agg` = None gives the EXISTS marker join (key-distinct sub),
+      * Some(item) appends that aggregate to the sub's implicit grouping
+      * (COUNT subqueries). Returns the joined marker/value column. */
+    def patternJoin(ch: Chain, where: Option[Expr], agg: Option[Expr]): Column = {
+      val corr = patternCorr(ch)
       existsN += 1
       val tag = s"__ex$existsN"
       val keys = corr.zipWithIndex.map { case (v, i) => v -> s"${tag}_k$i" }
-      val items = keys.map { case (v, n) => RetItem(VarRef(v), Some(n)) }
-      val sub = plan(g, Query(Seq(MatchPart(Seq(ch), where)), distinct = true,
+      val keyItems = keys.map { case (v, n) => RetItem(VarRef(v), Some(n)) }
+      val items = keyItems ++ agg.map(a => RetItem(a, Some(tag)))
+      val sub0 = plan(g, Query(Seq(MatchPart(Seq(ch), where)), distinct = agg.isEmpty,
         returnAll = false, items, Seq.empty, None, None))
-        .withColumn(tag, lit(true))
+      val sub = if (agg.isEmpty) sub0.withColumn(tag, lit(true)) else sub0
       val cond = keys.map { case (v, n) => col(bound(v)) === col(n) }.reduce(_ && _)
       acc = acc.join(sub, cond, "left").drop(keys.map(_._2): _*)
-      coalesce(col(tag), lit(false))
+      col(tag)
     }
+    def existsCol(ch: Chain, where: Option[Expr]): Column =
+      coalesce(patternJoin(ch, where, None), lit(false))
+    def countCol(ch: Chain, where: Option[Expr]): Column =
+      coalesce(patternJoin(ch, where, Some(Fn("count", None))), lit(0L))
 
     def exprCol(e: Expr): Column = e match {
       case Lit(v) => lit(v)
@@ -883,10 +907,13 @@ object Cypher {
       case IsNull(x, false) => exprCol(x).isNull
       case IsNull(x, true) => exprCol(x).isNotNull
       case p: PatternPred => existsCol(p.chain, p.where)
+      case c: PatternCount => countCol(c.chain, c.where)
       // legacy exists(): pattern argument = pattern predicate; any other
-      // argument = property-existence test (openCypher exists(n.prop))
+      // argument = property-existence test (openCypher exists(n.prop));
+      // legacy size(pattern) = the correlated match count
       case FnN("exists", Seq(p: PatternPred)) => exprCol(p)
       case FnN("exists", Seq(a)) => exprCol(a).isNotNull
+      case FnN("size", Seq(p: PatternPred)) => exprCol(PatternCount(p.chain, p.where))
       case f: FnN => scalarFn(f)
       case Fn(n, _, _) => throw new IllegalArgumentException(
         s"aggregate $n only valid as a top-level RETURN/WITH item")

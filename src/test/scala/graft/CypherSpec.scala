@@ -648,6 +648,29 @@ class CypherSpec extends AnyFunSuite {
       "RETURN a.id AS id").head().getLong(0) == 1L)
   }
 
+  test("COUNT subqueries and size(pattern): correlated match counts, 0 default") {
+    // per-node event out-degree as a scalar (NOT an aggregate — no grouping)
+    val deg = Cypher.run(g,
+      "MATCH (a) RETURN a.id AS id, COUNT { (a)-[]->() } AS deg ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(deg == Seq((0L, 2L), (1L, 1L), (2L, 2L), (3L, 1L)))
+    // legacy size(pattern); nodes without a match count 0
+    val szb = Cypher.run(g,
+      "MATCH (a) RETURN a.id AS id, size((a)-[:b]->()) AS nb ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(szb == Seq((0L, 1L), (1L, 0L), (2L, 1L), (3L, 0L)))
+    // usable in WHERE like any scalar
+    val busy = Cypher.run(g,
+      "MATCH (a) WHERE COUNT { (a)-[]->() } >= 2 RETURN a.id AS id")
+      .collect().map(_.getLong(0)).toSet
+    assert(busy == Set(0L, 2L))
+    // inner WHERE filters the counted matches
+    val late = Cypher.run(g,
+      "MATCH (a) RETURN a.id AS id, COUNT { MATCH (a)-[f]->(c) WHERE f.ts >= 5 } AS n " +
+        "ORDER BY id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(late == Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)))
+  }
+
   test("pattern predicates: correlation and freshness are enforced") {
     // no shared bound node variable
     intercept[IllegalArgumentException] {

@@ -322,6 +322,13 @@ object Queries2 {
         "MATCH (a)-[e]->(b) WHERE NOT (b)-[]->() " +
           "RETURN a.id AS src, b.id AS dst, e.ts AS ts, " +
           "toInteger(exists((a)-[]->({id: 0}))) AS to_zero")),
+    // list HOFs: quantifier predicate over a per-row list + reduce fold
+    // (sum 1..k has the closed form the oracle replays)
+    "cy_hof" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[e]->(b) WHERE any(x IN [e.ts % 5, e.seq % 3] WHERE x = 0) " +
+          "RETURN a.id AS src, e.ts AS ts, " +
+          "reduce(acc = 0, x IN range(1, e.ts % 4 + 1) | acc + x) AS tri")),
     // COUNT subquery: correlated per-node match count (scalar, not an
     // aggregate — nodes with no filtered out-event count 0)
     "cy_count_sub" -> ((s, d) =>
@@ -763,6 +770,10 @@ object Queries2 {
          |SELECT src, dst, ts,
          |  CAST(EXISTS (SELECT 1 FROM ev z WHERE z.src = e.src AND z.dst = 0) AS BIGINT) AS to_zero
          |FROM ev e WHERE dst NOT IN (SELECT src FROM ev)""".stripMargin,
+    "cy_hof" ->
+      s"""WITH $sqlGraph
+         |SELECT src, ts, CAST(((ts % 4 + 1) * (ts % 4 + 2)) // 2 AS BIGINT) AS tri
+         |FROM ev WHERE ts % 5 = 0 OR seq % 3 = 0""".stripMargin,
     "cy_count_sub" ->
       s"""WITH $sqlGraph
          |SELECT n.id, CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_even

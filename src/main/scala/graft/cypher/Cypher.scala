@@ -136,6 +136,17 @@ object Cypher {
     * [[PatternPred]] but the decorrelated subquery aggregates count(*)
     * per correlated-key tuple before the left join. */
   case class PatternCount(chain: Chain, where: Option[Expr]) extends Expr
+  /** List comprehension `[x IN list WHERE pred | map]` (either part
+    * optional) — planned as Spark HOFs: filter(list, x -> pred) then
+    * transform(..., x -> map). */
+  case class ListComp(v: String, list: Expr, pred: Option[Expr],
+                      map: Option[Expr]) extends Expr
+  /** Quantified list predicate all/any/none/single(x IN list WHERE p) —
+    * forall / exists / !exists / size(filter)=1 HOFs. */
+  case class Quant(name: String, v: String, list: Expr, pred: Expr) extends Expr
+  /** reduce(acc = init, x IN list | step) — the aggregate() HOF. */
+  case class ReduceExpr(acc: String, init: Expr, v: String, list: Expr,
+                        step: Expr) extends Expr
 
   case class NodePat(v: Option[String], label: Option[String], props: Map[String, Lit])
   /** `undirected = true` for `-[e]-`: the pattern matches each event in
@@ -377,15 +388,26 @@ object Cypher {
           case Some(ch) => PatternPred(ch, None)
           case None => punct("("); val e = expr(); expectPunct(")"); e
         }
-      case Some(TPunct("[")) => // list literal (UNWIND [1, 2, 3] AS x)
+      case Some(TPunct("[")) => // list literal or [x IN list WHERE p | m]
         punct("[")
-        val items = Seq.newBuilder[Expr]
-        if (!punct("]")) {
-          items += expr()
-          while (punct(",")) items += expr()
+        val comp = peek.exists(_.isInstanceOf[TIdent]) && pos + 1 < toks.length &&
+          (toks(pos + 1) match { case TIdent(s) => s.equalsIgnoreCase("IN"); case _ => false })
+        if (comp) { // list comprehension (openCypher FilterExpression)
+          val v = ident(); expectKw("IN")
+          val list = addExpr()
+          val pred = if (kw("WHERE")) Some(expr()) else None
+          val map = if (punct("|")) Some(expr()) else None
           expectPunct("]")
+          ListComp(v, list, pred, map)
+        } else {
+          val items = Seq.newBuilder[Expr]
+          if (!punct("]")) {
+            items += expr()
+            while (punct(",")) items += expr()
+            expectPunct("]")
+          }
+          ListLit(items.result())
         }
-        ListLit(items.result())
       case Some(_: TNum) | Some(_: TStr) => literal()
       case Some(TIdent(s)) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => literal()
       case Some(TIdent(s)) if s.equalsIgnoreCase("CASE") =>
@@ -416,7 +438,24 @@ object Cypher {
           if (v.equalsIgnoreCase("EXISTS")) PatternPred(ch, where)
           else PatternCount(ch, where)
         } else if (punct("(")) { // function call: count(*) / count(x) / sum / type / ...
-          if (v.equalsIgnoreCase("count") && punct("*")) { expectPunct(")"); Fn("count", None) }
+          def lambdaHead = peek.exists(_.isInstanceOf[TIdent]) && pos + 1 < toks.length &&
+            (toks(pos + 1) match { case TIdent(s) => s.equalsIgnoreCase("IN"); case _ => false })
+          def accHead = peek.exists(_.isInstanceOf[TIdent]) && pos + 1 < toks.length &&
+            toks(pos + 1) == TPunct("=")
+          if (Set("all", "any", "none", "single")(v.toLowerCase) && lambdaHead) {
+            // quantified list predicate: all(x IN list WHERE pred)
+            val x = ident(); expectKw("IN")
+            val list = addExpr()
+            expectKw("WHERE"); val pred = expr(); expectPunct(")")
+            Quant(v.toLowerCase, x, list, pred)
+          } else if (v.equalsIgnoreCase("reduce") && accHead) {
+            // reduce(acc = init, x IN list | step)
+            val accv = ident(); expectPunct("="); val init = expr(); expectPunct(",")
+            val x = ident(); expectKw("IN")
+            val list = addExpr()
+            expectPunct("|"); val step = expr(); expectPunct(")")
+            ReduceExpr(accv, init, x, list, step)
+          } else if (v.equalsIgnoreCase("count") && punct("*")) { expectPunct(")"); Fn("count", None) }
           else {
             // openCypher aggregate-DISTINCT: count(DISTINCT x), collect(DISTINCT x), ...
             val d = kw("DISTINCT")
@@ -762,6 +801,28 @@ object Cypher {
       acc = acc.join(g.nodes.select(renamed: _*), col(bound(v)) === col(keyCol)).drop(keyCol)
     }
 
+    // HOF lambda variables (list comprehensions / quantifiers / reduce):
+    // innermost binding shadows outer scopes while its body is planned.
+    // Each binding carries a typed-null placeholder (`lambdaPh`)
+    // substituted in probing mode so type probes can analyze lambda
+    // bodies; pattern-subquery join counter lives here too (declared
+    // before the probe helpers that reference them).
+    val lambdaVars = scala.collection.mutable.Map.empty[String, Column]
+    val lambdaPh = scala.collection.mutable.Map.empty[String, Column]
+    var probing = false
+    var existsN = 0
+    def withLambda[A](v: String, x: Column, ph: Column)(body: => A): A = {
+      val prevX = lambdaVars.get(v)
+      val prevP = lambdaPh.get(v)
+      lambdaVars(v) = x
+      lambdaPh(v) = ph
+      try body
+      finally {
+        prevX match { case Some(p) => lambdaVars(v) = p; case None => lambdaVars -= v }
+        prevP match { case Some(p) => lambdaPh(v) = p; case None => lambdaPh -= v }
+      }
+    }
+
     /** Resolve a column's type against the current frame (plan-time
       * analysis only, no job): drives the type-dependent openCypher
       * operators — string `+` = concat, integer `/` truncates, size() of
@@ -771,12 +832,32 @@ object Cypher {
       val probe = if (acc != null) acc else g.spark.range(1).toDF()
       probe.select(c.as("_t")).schema.head.dataType
     }
-    def isString(c: Column): Boolean =
-      dtypeOf(c) == org.apache.spark.sql.types.StringType
-    def isIntegral(c: Column): Boolean = dtypeOf(c) match {
+    /** Type of expression `e` whose planned column is `c`. The direct
+      * probe fails when `c` embeds an unresolved HOF lambda variable —
+      * then `e` is RE-planned in probing mode (lambda variables become
+      * typed-null placeholders, pattern subqueries skip their joins) and
+      * that column probed instead. NullType = unknown (numeric fallback
+      * semantics apply). */
+    def dtypeOfE(e: Expr, c: Column): org.apache.spark.sql.types.DataType =
+      try dtypeOf(c)
+      catch {
+        case _: Exception =>
+          probing = true
+          try dtypeOf(exprCol(e))
+          catch { case _: Exception => org.apache.spark.sql.types.NullType }
+          finally probing = false
+      }
+    def isStringE(e: Expr, c: Column): Boolean =
+      dtypeOfE(e, c) == org.apache.spark.sql.types.StringType
+    def isIntegralE(e: Expr, c: Column): Boolean = dtypeOfE(e, c) match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
+    }
+    /** Typed-null placeholder for one element of list expression `e`. */
+    def elemPh(e: Expr, c: Column): Column = dtypeOfE(e, c) match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => lit(null).cast(et)
+      case _ => lit(null)
     }
 
     /** Pattern predicate / EXISTS subquery as a BOOLEAN column. Planned
@@ -791,7 +872,6 @@ object Cypher {
       * no per-row subquery, no row multiplication (the key side is
       * distinct), NULL outer bindings (OPTIONAL MATCH) correctly yield
       * false, and a small key set broadcasts under AQE. */
-    var existsN = 0
     /** Correlated node variables of a subpattern, with the freshness /
       * correlation checks shared by existsCol and countCol. */
     def patternCorr(ch: Chain): Seq[String] = {
@@ -831,13 +911,17 @@ object Cypher {
       col(tag)
     }
     def existsCol(ch: Chain, where: Option[Expr]): Column =
-      coalesce(patternJoin(ch, where, None), lit(false))
+      if (probing) lit(false) // type probe: no join, boolean shape only
+      else coalesce(patternJoin(ch, where, None), lit(false))
     def countCol(ch: Chain, where: Option[Expr]): Column =
-      coalesce(patternJoin(ch, where, Some(Fn("count", None))), lit(0L))
+      if (probing) lit(0L)
+      else coalesce(patternJoin(ch, where, Some(Fn("count", None))), lit(0L))
 
     def exprCol(e: Expr): Column = e match {
       case Lit(v) => lit(v)
       case ListLit(items) => array(items.map(exprCol): _*)
+      case VarRef(v) if lambdaVars.contains(v) =>
+        if (probing) lambdaPh(v) else lambdaVars(v)
       case VarRef(v) if valueVars.contains(v) => col(valueVars(v))
       case VarRef(v) if bound.contains(v) => col(bound(v))
       case VarRef(v) if edgeVars.contains(v) =>
@@ -878,7 +962,7 @@ object Cypher {
         val (lc, rc) = (exprCol(l), exprCol(r))
         op match {
           case "+" =>
-            if (isString(lc) || isString(rc)) concat(lc.cast("string"), rc.cast("string"))
+            if (isStringE(l, lc) || isStringE(r, rc)) concat(lc.cast("string"), rc.cast("string"))
             else lc + rc
           case "-" => lc - rc
           case "*" => lc * rc
@@ -890,7 +974,7 @@ object Cypher {
             // operands route through SQL `div` (IntegralDivide — exact long
             // division). n/0 follows SQL semantics and yields NULL, a
             // documented divergence from openCypher's runtime error.
-            if (isIntegral(lc) && isIntegral(rc)) call_function("div", lc, rc)
+            if (isIntegralE(l, lc) && isIntegralE(r, rc)) call_function("div", lc, rc)
             else lc / rc
           case "%" => lc % rc
         }
@@ -914,6 +998,33 @@ object Cypher {
       case FnN("exists", Seq(p: PatternPred)) => exprCol(p)
       case FnN("exists", Seq(a)) => exprCol(a).isNotNull
       case FnN("size", Seq(p: PatternPred)) => exprCol(PatternCount(p.chain, p.where))
+      // list HOFs — all codegen'd Catalyst higher-order functions; empty
+      // lists follow openCypher: all([])=true, any/none([]) unaffected
+      case ListComp(v, listE, pred, map) =>
+        val lc = exprCol(listE)
+        val ph = elemPh(listE, lc)
+        val filtered = pred.map(p => filter(lc, x => withLambda(v, x, ph)(exprCol(p)))).getOrElse(lc)
+        map.map(m => transform(filtered, x => withLambda(v, x, ph)(exprCol(m)))).getOrElse(filtered)
+      case Quant("all", v, listE, p) =>
+        val lc = exprCol(listE)
+        forall(lc, x => withLambda(v, x, elemPh(listE, lc))(exprCol(p)))
+      case Quant("any", v, listE, p) =>
+        val lc = exprCol(listE)
+        exists(lc, x => withLambda(v, x, elemPh(listE, lc))(exprCol(p)))
+      case Quant("none", v, listE, p) =>
+        val lc = exprCol(listE)
+        !exists(lc, x => withLambda(v, x, elemPh(listE, lc))(exprCol(p)))
+      case Quant("single", v, listE, p) =>
+        val lc = exprCol(listE)
+        size(filter(lc, x => withLambda(v, x, elemPh(listE, lc))(exprCol(p)))) === 1
+      case Quant(n, _, _, _) => throw new IllegalArgumentException(s"unknown quantifier $n")
+      case ReduceExpr(accV, init, v, listE, step) =>
+        val (lc, initC) = (exprCol(listE), exprCol(init))
+        val accT = dtypeOfE(init, initC)
+        val accPh = if (accT == org.apache.spark.sql.types.NullType) lit(null)
+                    else lit(null).cast(accT)
+        aggregate(lc, initC, (a, x) =>
+          withLambda(accV, a, accPh)(withLambda(v, x, elemPh(listE, lc))(exprCol(step))))
       case f: FnN => scalarFn(f)
       case Fn(n, _, _) => throw new IllegalArgumentException(
         s"aggregate $n only valid as a top-level RETURN/WITH item")
@@ -974,7 +1085,7 @@ object Cypher {
       // size/length of a value: list → element count, string → chars
       case FnN(n, Seq(a)) if n == "size" || n == "length" =>
         val c = exprCol(a)
-        if (isString(c)) length(c).cast("long") else size(c).cast("long")
+        if (isStringE(a, c)) length(c).cast("long") else size(c).cast("long")
       case FnN(n, as) => throw new IllegalArgumentException(
         s"unsupported function $n/${as.length}")
     }
@@ -1334,6 +1445,16 @@ object Cypher {
         case CaseExpr(s, ws, e) =>
           (s.toSeq ++ ws.flatMap(w => Seq(w._1, w._2)) ++ e.toSeq).flatMap(exprVars).toSet
         case ListLit(items) => items.flatMap(exprVars).toSet
+        // HOF lambda bindings are local — subtract them from their bodies
+        case ListComp(v, l, p, m) =>
+          exprVars(l) ++ ((p.toSeq ++ m.toSeq).flatMap(exprVars).toSet - v)
+        case Quant(_, v, l, p) => exprVars(l) ++ (exprVars(p) - v)
+        case ReduceExpr(a, i, v, l, s) =>
+          exprVars(i) ++ exprVars(l) ++ (exprVars(s) -- Set(a, v))
+        case PatternPred(ch, w) =>
+          (ch.first.v.toSeq ++ ch.hops.flatMap(h => h._1.v.toSeq ++ h._2.v.toSeq)).toSet ++
+            w.toSeq.flatMap(exprVars)
+        case PatternCount(ch, w) => exprVars(PatternPred(ch, w))
         case _ => Set.empty
       }
       part.where.foreach { w =>

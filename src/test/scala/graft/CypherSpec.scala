@@ -671,6 +671,46 @@ class CypherSpec extends AnyFunSuite {
     assert(late == Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)))
   }
 
+  test("list HOFs: comprehensions, quantifiers, reduce (codegen'd, no UDFs)") {
+    // comprehension: filter + map over range()
+    val evens = Cypher.run(g,
+      "MATCH (a) WHERE a.id = 0 RETURN [x IN range(1, 6) WHERE x % 2 = 0 | x * 10] AS l")
+      .head().getSeq[Long](0)
+    assert(evens == Seq(20L, 40L, 60L))
+    // filter-only and map-only forms
+    assert(Cypher.run(g, "MATCH (a) WHERE a.id = 0 RETURN [x IN range(1, 4) WHERE x > 2] AS l")
+      .head().getSeq[Long](0) == Seq(3L, 4L))
+    assert(Cypher.run(g, "MATCH (a) WHERE a.id = 0 RETURN [x IN range(1, 3) | x + 1] AS l")
+      .head().getSeq[Long](0) == Seq(2L, 3L, 4L))
+    // integer semantics survive inside lambdas (exact SQL div, not double)
+    assert(Cypher.run(g, "MATCH (a) WHERE a.id = 0 RETURN [x IN range(10, 12) | x / 3] AS l")
+      .head().getSeq[Long](0) == Seq(3L, 3L, 4L))
+    // quantifiers over per-row lists
+    assert(Cypher.run(g,
+      "MATCH (a)-[e]->(b) WHERE all(x IN [e.ts, e.seq] WHERE x >= 0) RETURN count(*) AS n")
+      .head().getLong(0) == 6L)
+    assert(Cypher.run(g,
+      "MATCH (a)-[e]->(b) WHERE any(x IN [e.ts, e.weight] WHERE x >= 5) RETURN count(*) AS n")
+      .head().getLong(0) == 3L) // ts 5, 6 and weight 5.0 (ts 3)
+    assert(Cypher.run(g,
+      "MATCH (a)-[e]->(b) WHERE none(x IN [e.ts] WHERE x > 4) RETURN count(*) AS n")
+      .head().getLong(0) == 4L)
+    assert(Cypher.run(g,
+      "MATCH (a) WHERE a.id = 0 AND single(x IN [1, 2, 3] WHERE x = 2) RETURN count(*) AS n")
+      .head().getLong(0) == 1L)
+    // reduce: numeric fold and string concat (type-directed +)
+    assert(Cypher.run(g,
+      "MATCH (a) WHERE a.id = 0 RETURN reduce(s = 0, x IN range(1, 5) | s + x) AS tot")
+      .head().getLong(0) == 15L)
+    assert(Cypher.run(g,
+      "MATCH (a) WHERE a.id = 0 RETURN reduce(s = '', x IN ['a', 'b', 'c'] | s + x) AS cat")
+      .head().getString(0) == "abc")
+    // a lambda variable shadows an outer binding of the same name
+    assert(Cypher.run(g,
+      "MATCH (a) WHERE a.id = 3 RETURN [a IN range(1, 2) | a * 2] AS l")
+      .head().getSeq[Long](0) == Seq(2L, 4L))
+  }
+
   test("pattern predicates: correlation and freshness are enforced") {
     // no shared bound node variable
     intercept[IllegalArgumentException] {

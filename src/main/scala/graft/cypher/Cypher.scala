@@ -1044,9 +1044,18 @@ object Cypher {
       case FnN("endnode", Seq(VarRef(v))) if edgeVars.contains(v) => col(s"${v}_dst")
       case FnN("coalesce", as) if as.nonEmpty => coalesce(as.map(exprCol): _*)
       // list constructors/accessors: range(a, b[, step]) is INCLUSIVE of
-      // b (openCypher, matching Spark's sequence); head/last of [] = NULL
-      case FnN("range", Seq(a, b)) => sequence(exprCol(a), exprCol(b))
-      case FnN("range", Seq(a, b, st)) => sequence(exprCol(a), exprCol(b), exprCol(st))
+      // b (openCypher, matching Spark's sequence) — but an exhausted
+      // range is EMPTY in openCypher while Spark's sequence(1, 0)
+      // DESCENDS (and errors on a step/bound sign mismatch), so both
+      // arms guard the direction explicitly; head/last of [] = NULL
+      case FnN("range", Seq(a, b)) =>
+        val (ac, bc) = (exprCol(a).cast("long"), exprCol(b).cast("long"))
+        when(bc >= ac, sequence(ac, bc)).otherwise(typedLit(Seq.empty[Long]))
+      case FnN("range", Seq(a, b, st)) =>
+        val (ac, bc, sc) =
+          (exprCol(a).cast("long"), exprCol(b).cast("long"), exprCol(st).cast("long"))
+        when((sc > 0 && bc >= ac) || (sc < 0 && bc <= ac), sequence(ac, bc, sc))
+          .otherwise(typedLit(Seq.empty[Long]))
       case FnN("head", Seq(a)) => element_at(exprCol(a), 1)
       case FnN("last", Seq(a)) => element_at(exprCol(a), -1)
       case FnN("tointeger", Seq(a)) => exprCol(a).cast("long")
@@ -1356,11 +1365,27 @@ object Cypher {
         require(part.items.forall(it => !topAgg(it.expr)),
           "WITH * cannot mix aggregates — name the grouping keys explicitly")
         names(part.items).zip(part.items).foreach { case (n, RetItem(e, _)) =>
+          // withColumn would silently REPLACE an existing column — a
+          // colliding alias could clobber a binding's vid (openCypher
+          // raises "variable already declared"; so do we)
+          require(!acc.columns.contains(n) && !valueVars.contains(n),
+            s"WITH *: variable $n is already declared in scope")
           val c = exprCol(e) // may lazily join the node table onto acc
           acc = acc.withColumn(n, c)
           valueVars(n) = n
         }
-        if (part.distinct) acc = acc.dropDuplicates()
+        // DISTINCT over the VISIBLE scope only: anonymous edges/nodes
+        // carry synthetic columns in acc (one row per event/middle) that
+        // openCypher's `WITH DISTINCT *` must not distinguish by
+        if (part.distinct) {
+          val visible = bound.toSeq.filter(kv => !synth(kv._1)).flatMap { case (v, c) =>
+            c +: (if (nodeJoined(v)) g.nodes.columns.toSeq.filter(_ != "vid").map(n => s"${v}_$n")
+                  else Seq.empty)
+          } ++ edgeVars.toSeq.filter(kv => !synth(kv._1)).flatMap(_._2) ++
+            varLenVars.toSeq.filter(kv => !synth(kv._1)).map(_._2) ++
+            valueVars.values.toSeq
+          acc = acc.dropDuplicates(visible.distinct)
+        }
         if (part.orderBy.nonEmpty) acc = acc.orderBy(resolveOrder(acc, part.orderBy): _*)
         part.skip.foreach(n => acc = acc.offset(n.toInt))
         part.limit.foreach(n => acc = acc.limit(n.toInt))

@@ -126,13 +126,11 @@ object Dedup {
     * entries, comma-joined (byte-identical to the long-form definition). */
   def lshBucketsWide(wide: DataFrame, idCol: String = "doc_id",
                      bands: Int = 4, nHashes: Int = 16): DataFrame = {
-    val rows = nHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      val entries = (b * rows until (b + 1) * rows)
-        .map(s => concat_ws(":", lit(s), col(s"mh$s")))
-      md5(concat_ws(",", sort_array(array(entries: _*))).cast("binary"))
-    }
-    wide.select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    // ONE canonical bucket-id encoding: delegate to bandBucketArray so
+    // the batch and streaming paths cannot drift
+    val sig = array((0 until nHashes).map(s => col(s"mh$s")): _*)
+    wide.select(col(idCol),
+      posexplode(bandBucketArray(sig, bands, nHashes)).as(Seq("band", "bucket")))
   }
 
   /** LSH band buckets over a long-form minhash signature table. */

@@ -142,6 +142,10 @@ object StreamIngest {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val sig = Dedup.minhashSigArray(col(textCol), nHashes, shingleN)
     val banded = docs
+      // a NULL text yields null signature elements, which the typed
+      // decoder below rejects — and a shingle-less doc cannot be a
+      // near-dup of anything; drop it before the state op
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), sig.as("sig"))
       .select(col("id"), col("sig"),
         posexplode(Dedup.bandBucketArray(col("sig"), bands, nHashes)).as(Seq("band", "bucket")))
@@ -151,19 +155,32 @@ object StreamIngest {
       .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) { (_, rows, state) =>
         var seen = state.getOption.getOrElse(Seq.empty)
-        val out = Seq.newBuilder[(Long, Long, Double)]
-        // id order within the micro-batch: deterministic under shuffle
-        for ((_, id, sg) <- rows.toSeq.sortBy(_._2)) {
-          if (seen.length < bucketCap && !seen.exists(_._1 == id)) {
-            for ((oid, osig) <- seen) {
-              val agree = sg.zip(osig).count { case (x, y) => x == y }.toDouble / nHashes
-              if (agree >= minAgree) out += ((math.min(id, oid), math.max(id, oid), agree))
-            }
-            seen = seen :+ ((id, sg))
+        if (seen.length >= bucketCap) Iterator.empty // saturated: don't buffer the group
+        else {
+          // bounded selection — a hot key's micro-batch group may be huge,
+          // so never materialize it: only the bucketCap smallest ids can
+          // matter (max-heap of size cap; ids beyond it are ignored, the
+          // bucket is saturating anyway). Ascending id replay keeps the
+          // batch deterministic under shuffle.
+          val pq = scala.collection.mutable.PriorityQueue
+            .empty[(Long, Seq[Long])](Ordering.by(_._1))
+          for ((_, id, sg) <- rows) {
+            pq.enqueue((id, sg))
+            if (pq.size > bucketCap) pq.dequeue()
           }
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          for ((id, sg) <- pq.dequeueAll.reverse) {
+            if (seen.length < bucketCap && !seen.exists(_._1 == id)) {
+              for ((oid, osig) <- seen) {
+                val agree = sg.zip(osig).count { case (x, y) => x == y }.toDouble / nHashes
+                if (agree >= minAgree) out += ((math.min(id, oid), math.max(id, oid), agree))
+              }
+              seen = seen :+ ((id, sg))
+            }
+          }
+          state.update(seen)
+          out.result().iterator
         }
-        state.update(seen)
-        out.result().iterator
       }
       .toDF("a", "b", "sig_agreement")
   }

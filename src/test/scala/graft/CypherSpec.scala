@@ -727,6 +727,36 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("WITH DISTINCT * dedups the VISIBLE scope; alias collisions rejected; range clamps") {
+    // parallel events between the same endpoints: anonymous-edge rows
+    // must collapse under WITH DISTINCT * (the synthetic event columns
+    // are not part of the openCypher scope)
+    val multi = {
+      val e = Seq((0L, 1L, 1L, 0L, "a", 1.0), (0L, 1L, 2L, 1L, "a", 1.0),
+        (1L, 2L, 3L, 2L, "a", 1.0)).toDF("src", "dst", "ts", "seq", "layer", "weight")
+      val n = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("vid", "name")
+      new LinkGraph(e, n, namesAreNumeric = false)
+    }
+    val pairs = Cypher.run(multi,
+      "MATCH (a)-[]->(b) WITH DISTINCT * RETURN a.id AS s, b.id AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 2 && pairs.toSet == Set((0L, 1L), (1L, 2L)))
+    // a WITH * alias may not clobber an existing scope column
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a) WITH *, 0 AS a_vid RETURN a.id AS id").collect()
+    }
+    // openCypher range: exhausted ranges are EMPTY (Spark sequence descends)
+    assert(Cypher.run(g, "MATCH (a) WHERE a.id = 0 RETURN size(range(1, 0)) AS n")
+      .head().getLong(0) == 0L)
+    assert(Cypher.run(g,
+      "MATCH (a) WHERE a.id = 0 RETURN reduce(s = 0, x IN range(1, 0) | s + x) AS t")
+      .head().getLong(0) == 0L)
+    assert(Cypher.run(g, "MATCH (a) WHERE a.id = 0 RETURN range(3, 1, -1) AS l")
+      .head().getSeq[Long](0) == Seq(3L, 2L, 1L))
+    assert(Cypher.run(g, "MATCH (a) WHERE a.id = 0 RETURN size(range(1, 3, -1)) AS n")
+      .head().getLong(0) == 0L)
+  }
+
   test("named paths: length(p) over fixed, var-length and mixed chains") {
     // fixed two-hop chain: every row has length 2
     val fixed = Cypher.run(g, "MATCH p = (a)-[e]->(b)-[f]->(c) " +

@@ -117,8 +117,9 @@ class StreamingSpec extends AnyFunSuite {
     val q = dups.writeStream.format("memory").queryName("neardup_stream")
       .outputMode(OutputMode.Append()).start()
     try {
-      // batch 1: two identical docs + one unrelated -> exactly pair (1,2)
-      input.addData((1L, t1), (2L, t1), (5L, t2))
+      // batch 1: two identical docs + one unrelated + a NULL text (must
+      // not kill the stream — filtered before the state op)
+      input.addData((1L, t1), (2L, t1), (5L, t2), (7L, null))
       q.processAllAvailable()
       val b1 = spark.table("neardup_stream").select("a", "b").distinct().collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet

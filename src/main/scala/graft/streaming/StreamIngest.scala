@@ -94,21 +94,38 @@ object StreamIngest {
     * state is hash-partitioned across executors like any keyed state, so
     * the operator scales with the key space, not the stream length).
     * Within one micro-batch the kept row is the min doc id (deterministic
-    * under shuffle). Use with append output mode. */
+    * under shuffle). Use with append output mode.
+    *
+    * `stateTtlMs` is the unbounded-stream compromise: without it the
+    * state store holds one marker per DISTINCT hash forever (exact-
+    * forever dedup, state = O(key space)); with it a hash's marker
+    * expires after that much processing-time inactivity — duplicates
+    * within the TTL window still dedup exactly, a re-arrival after
+    * expiry re-emits (each sighting refreshes the clock). At a
+    * 100-TB/day ingest a TTL turns the state store into a sliding
+    * recent-hash set instead of an ever-growing one. */
   def dedupStream(docs: DataFrame, idCol: String = "doc_id",
-                  hashCol: String = "content_hash"): DataFrame = {
+                  hashCol: String = "content_hash",
+                  stateTtlMs: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val timeout =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs.select(col(hashCol).cast("string"), col(idCol).cast("long"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (String, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeout) {
         (hash, rows, state) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            stateTtlMs.foreach(state.setTimeoutDuration) // refresh on sighting
+            Iterator.empty
+          } else {
             state.update(true)
+            stateTtlMs.foreach(state.setTimeoutDuration)
             var keep = Long.MaxValue
             rows.foreach { case (_, id) => if (id < keep) keep = id }
             Iterator((hash, keep))

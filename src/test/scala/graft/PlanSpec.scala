@@ -230,6 +230,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("Cypher pattern predicates: decorrelated equi-joins, key side pre-aggregated") {
+    // EXISTS/COUNT subqueries must plan as a key-distinct (or per-key
+    // count) aggregate LEFT-joined on equality — never a per-row nested
+    // loop or a cartesian against the subpattern
+    val edges0 = spark.range(0, 2000)
+      .select(col("id").as("src"), ((col("id") * 7 + 3) % 2000).as("dst"))
+      .withColumn("ts", col("src"))
+    val g = LinkGraph.fromRawEdges(edges0)
+    val ex = graft.cypher.Cypher.run(g,
+      "MATCH (a)-[e]->(b) WHERE NOT (b)-[:_default]->() RETURN count(*) AS n")
+    // string assertions: under AQE the executed plan roots at
+    // AdaptiveSparkPlanExec and collect() cannot descend into it
+    val s1 = ex.queryExecution.executedPlan.toString
+    assert(!s1.contains("BroadcastNestedLoopJoin") && !s1.contains("CartesianProduct"), s1)
+    assert(s1.contains("HashAggregate"), s1)
+    val cnt = graft.cypher.Cypher.run(g,
+      "MATCH (a) RETURN a.id AS id, COUNT { (a)-[]->() } AS d")
+    val s2 = cnt.queryExecution.executedPlan.toString
+    assert(!s2.contains("BroadcastNestedLoopJoin") && !s2.contains("CartesianProduct"), s2)
+    assert(cnt.count() == 2000)
+  }
+
   test("superstep pipeline stays inside WholeStageCodegen (no interpreted hot path)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = docs.select(col("doc_id"),

@@ -87,6 +87,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream state-TTL variant builds as a streaming plan") {
+    // A ProcessingTimeTimeout query never drains in-process (the engine
+    // keeps scheduling no-data batches to evict timed-out state, so
+    // processAllAvailable/awaitTermination block under EVERY trigger,
+    // AvailableNow included) — the timeout CLOCK is not controllable
+    // from a unit test. The shared per-batch logic (first-seen wins,
+    // min-id within a batch, cross-batch suppression) is exercised by
+    // the NoTimeout test above; here we lock the TTL wiring: the plan
+    // builds, stays streaming, and declares the state operator.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val deduped = StreamIngest.dedupStream(
+      input.toDF().toDF("content_hash", "doc_id"), stateTtlMs = Some(3600_000L))
+    assert(deduped.isStreaming)
+    assert(deduped.queryExecution.analyzed.toString.contains("FlatMapGroupsWithState"))
+  }
+
   test("per-row minhash signature/buckets are byte-identical to the batch forms") {
     import graft.dedup.Dedup
     val docs = Corpus.pages(spark, 99L, 3).toDF()

@@ -635,7 +635,37 @@ object Queries2 {
       // pandas compare cannot hash array cells (round-1 hard error)
       Wcc.run(tinyCrawl(s))
         .groupBy(col("component_vid").as("component"))
-        .agg(count(lit(1)).as("n_nodes")))
+        .agg(count(lit(1)).as("n_nodes"))),
+    // ---- remaining view-algebra / accessor surfaces, driver-visible
+    // (previously suite-only: subgraph, subgraphNodeTypes, node history
+    // earliest/latest — closes the last SURVEY §1.5/§2.2 oracle gaps) ----
+    // induced subgraph (node_subgraph.rs) on the even-vid node set:
+    // per-node degrees inside the induced view
+    "g_subgraph" -> ((s, d) => {
+      val g = graph(s, d)
+      val sub = g.subgraph(g.nodes.filter(col("vid") % 2 === 0).select("vid"))
+      sub.outDegrees.withColumnRenamed("degree", "out_degree")
+        .join(sub.inDegrees.withColumnRenamed("degree", "in_degree"), Seq("vid"))
+        .join(sub.degrees, Seq("vid"))
+        .select(col("vid").as("id"), col("out_degree"), col("in_degree"), col("degree"))
+    }),
+    // node-type induced subgraph (node_type_filtered_subgraph.rs): types
+    // "t"+(vid%3) assigned to vids not divisible by 5, the rest untyped
+    // (= _default); keep {t1, _default}
+    "g_node_types" -> ((s, d) => {
+      val g = graph(s, d)
+      val types = g.nodes.filter(col("vid") % 5 =!= 0)
+        .select(col("vid"), concat(lit("t"), col("vid") % 3).as("node_type"))
+      val typed = g.withNodeTypes(types)
+      val sub = typed.subgraphNodeTypes(Seq("t1", typed.DefaultNodeType))
+      one(s, "n_nodes" -> lit(sub.nodeCount), "n_edges" -> lit(sub.edgeCount),
+        "n_events" -> lit(sub.edges.count()))
+    }),
+    // node history / earliest_time / latest_time (node.rs:96-109): per-node
+    // incident-event count + time bounds, self-loops incident once
+    "g_node_activity" -> ((s, d) =>
+      graph(s, d).nodeActivity
+        .select(col("vid").as("id"), col("n_events"), col("earliest"), col("latest")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1432,7 +1462,42 @@ object Queries2 {
     "s_rolling_counts" ->
       """SELECT CAST(epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
         |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // induced subgraph on even vids: same degree SQL family as
+    // g_window_degrees over the endpoint-filtered edge set; the node set
+    // keeps even-vid nodes whose induced degree is zero
+    "g_subgraph" ->
+      s"""WITH $sqlGraph,
+         |keep AS (SELECT id FROM nodes WHERE id % 2 = 0),
+         |sedges AS (SELECT src, dst FROM edges WHERE src % 2 = 0 AND dst % 2 = 0),
+         |sund AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM sedges
+         |         UNION ALL SELECT dst AS a, src AS b FROM sedges) t1)
+         |SELECT k.id,
+         |  CAST(coalesce(o.c, 0) AS BIGINT) AS out_degree,
+         |  CAST(coalesce(i.c, 0) AS BIGINT) AS in_degree,
+         |  CAST(coalesce(u.c, 0) AS BIGINT) AS degree
+         |FROM keep k
+         |LEFT JOIN (SELECT src, count(*) AS c FROM sedges GROUP BY src) o ON o.src = k.id
+         |LEFT JOIN (SELECT dst, count(*) AS c FROM sedges GROUP BY dst) i ON i.dst = k.id
+         |LEFT JOIN (SELECT a, count(*) AS c FROM sund GROUP BY a) u ON u.a = k.id""".stripMargin,
+    // node-type subgraph: type(id) = '_default' when id % 5 = 0 else
+    // 't' || (id % 3); kept = {t1, _default} ⇔ id % 5 = 0 OR id % 3 = 1
+    "g_node_types" ->
+      s"""WITH $sqlGraph,
+         |keep AS (SELECT id FROM nodes WHERE id % 5 = 0 OR (id % 5 <> 0 AND id % 3 = 1)),
+         |kev AS (SELECT e.* FROM ev e JOIN keep a ON e.src = a.id
+         |        JOIN keep b ON e.dst = b.id)
+         |SELECT (SELECT count(*) FROM keep) AS n_nodes,
+         |       (SELECT count(*) FROM (SELECT DISTINCT src, dst FROM kev) t) AS n_edges,
+         |       (SELECT count(*) FROM kev) AS n_events""".stripMargin,
+    // node activity: incident events per node (self-loop incident once),
+    // min/max event ts
+    "g_node_activity" ->
+      s"""WITH $sqlGraph,
+         |act AS (SELECT src AS id, ts FROM ev
+         |        UNION ALL SELECT dst AS id, ts FROM ev WHERE dst <> src)
+         |SELECT id, count(*) AS n_events, min(ts) AS earliest, max(ts) AS latest
+         |FROM act GROUP BY id""".stripMargin
   )
 
   /** The delta-temporal 3-node motif census in portable SQL: a bounded

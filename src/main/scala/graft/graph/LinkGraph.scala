@@ -269,6 +269,21 @@ class LinkGraph(
     nodes.select("vid").join(d.withColumnRenamed(key, "vid"), Seq("vid"), "left")
       .select(col("vid"), coalesce(col("degree"), lit(0L)).as("degree"))
 
+  /** Per-node activity summary over the view: incident event count plus
+    * earliest/latest event timestamp — the reference's node
+    * `history()/earliest_time/latest_time` family (db/api/view/node.rs:
+    * 96-109: a node's history is the union of its incident edge events).
+    * A self-loop event is incident ONCE (one history entry, like the
+    * reference's per-event additions), hence the dst-leg self-loop filter
+    * instead of a distinct. Nodes with no in-view event are absent (empty
+    * history ⇒ earliest/latest None). One union + one hash aggregate. */
+  def nodeActivity: DataFrame = {
+    val ends = edges.select(col("src").as("vid"), col("ts"))
+      .union(edges.filter(col("dst") =!= col("src")).select(col("dst").as("vid"), col("ts")))
+    ends.groupBy("vid").agg(count(lit(1)).as("n_events"),
+      min(col("ts")).as("earliest"), max(col("ts")).as("latest"))
+  }
+
   def nodeCount: Long = nodes.count()
 
   /** Unique-edge count (post multi-edge collapse), matching the reference's

@@ -43,6 +43,22 @@ class ViewSpec extends AnyFunSuite {
     assert(sub.nodeCount == 3)
   }
 
+  test("nodeActivity: incident event counts + time bounds, self-loop incident once") {
+    // 1->2 twice (ts 0, 4), self-loop 2->2 (ts 6), 3->1 (ts 9)
+    val ga = LinkGraph.fromNumericEdgeList(spark,
+      Seq((1L, 2L, 0L), (1L, 2L, 4L), (2L, 2L, 6L), (3L, 1L, 9L)))
+    val act = ga.nodeActivity.join(ga.nodes, Seq("vid"))
+      .select("name", "n_events", "earliest", "latest").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(act("1") == ((3L, 0L, 9L)))  // two out-events + one in-event
+    assert(act("2") == ((3L, 0L, 6L)))  // two in-events + self-loop ONCE
+    assert(act("3") == ((1L, 9L, 9L)))
+    // windowed view windows the activity too
+    val wAct = ga.window(4L, 7L).nodeActivity.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(wAct.values.sum == 3L) // events (1,2,4) twice-incident + loop once
+  }
+
   test("materialize re-mints dense vids in view order and preserves results") {
     val w = g.window(5L, 16L) // nodes 2,3,4,1 by original vids 1,2,3,0
     val m = w.materialize()

@@ -335,6 +335,15 @@ object Queries2 {
       graft.cypher.Cypher.run(graph(s, d),
         "MATCH (a) RETURN a.id AS id, " +
           "COUNT { MATCH (a)-[f]->(c) WHERE f.ts % 2 = 0 } AS n_even")),
+    // pattern comprehension (openCypher; the reference grammar parses it,
+    // never executes it): per-node list of smaller out-neighbour event
+    // targets, reduced to a deterministic sum, beside the ge-event count
+    // via size() of a second comprehension
+    "cy_pattern_comp" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a) RETURN a.id AS id, " +
+          "reduce(s = 0, x IN [(a)-[e]->(b) WHERE b.id < a.id | b.id] | s + x) AS smaller_sum, " +
+          "size([(a)-[e2]->(b2) WHERE b2.id >= a.id | b2.id]) AS n_ge")),
     // variable-length paths (openCypher RangeLiteral — the reference
     // parses it, cypher.pest:203, but never executes it): per (start,end)
     // pair the number of 1..2-hop event paths from low-id sources, with
@@ -813,6 +822,19 @@ object Queries2 {
       s"""WITH $sqlGraph
          |SELECT src, dst, ts, CAST(ts % 7 AS BIGINT) AS w
          |FROM ev WHERE ts % 7 < 3""".stripMargin,
+    // pattern comprehensions collect one element per matching EVENT:
+    // smaller_sum = Σ dst over out-events with dst < src (0 when none),
+    // n_ge = count of out-events with dst >= src
+    "cy_pattern_comp" ->
+      s"""WITH $sqlGraph
+         |SELECT n.id,
+         |  CAST(coalesce(s.v, 0) AS BIGINT) AS smaller_sum,
+         |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_ge
+         |FROM nodes n
+         |LEFT JOIN (SELECT src, sum(dst) AS v FROM ev WHERE dst < src GROUP BY src) s
+         |  ON s.src = n.id
+         |LEFT JOIN (SELECT src, count(*) AS cnt FROM ev WHERE dst >= src GROUP BY src) c
+         |  ON c.src = n.id""".stripMargin,
     // 1-hop events + 2-hop event chains (distinct events: ts = seq =
     // o_orderkey identifies the event) grouped by path endpoints
     "cy_varlen" ->

@@ -147,6 +147,14 @@ object Cypher {
   /** reduce(acc = init, x IN list | step) — the aggregate() HOF. */
   case class ReduceExpr(acc: String, init: Expr, v: String, list: Expr,
                         step: Expr) extends Expr
+  /** Pattern comprehension `[(a)-[e]->(b) [WHERE p] | expr]` (openCypher;
+    * the reference grammar's PatternComprehension arm — parsed there,
+    * never executed by its transpiler): one list element per matching
+    * path, duplicates kept, element order unspecified. Planned like
+    * [[PatternCount]] — the decorrelated subquery aggregates
+    * collect_list(expr) per correlated-key tuple — with an empty-array
+    * coalesce so unmatched outer rows get [] (not NULL). */
+  case class PatternComp(chain: Chain, where: Option[Expr], map: Expr) extends Expr
 
   case class NodePat(v: Option[String], label: Option[String], props: Map[String, Lit])
   /** `undirected = true` for `-[e]-`: the pattern matches each event in
@@ -400,13 +408,35 @@ object Cypher {
           expectPunct("]")
           ListComp(v, list, pred, map)
         } else {
-          val items = Seq.newBuilder[Expr]
-          if (!punct("]")) {
-            items += expr()
-            while (punct(",")) items += expr()
-            expectPunct("]")
+          // pattern comprehension [(a)-[e]->(b) WHERE p | expr] — try the
+          // pattern form first and backtrack (pos is the only parser
+          // state) when there is no hop or no `|` map part; the fallback
+          // list literal still parses bare patterns as boolean pattern
+          // predicates through operand()'s '(' arm
+          val save = pos
+          val pat: Option[Expr] =
+            if (peek.contains(TPunct("("))) {
+              try {
+                val ch = chain()
+                if (ch.hops.isEmpty) { pos = save; None }
+                else {
+                  val where = if (kw("WHERE")) Some(expr()) else None
+                  expectPunct("|")
+                  val m = expr()
+                  expectPunct("]")
+                  Some(PatternComp(ch, where, m))
+                }
+              } catch { case _: Exception => pos = save; None }
+            } else None
+          pat.getOrElse {
+            val items = Seq.newBuilder[Expr]
+            if (!punct("]")) {
+              items += expr()
+              while (punct(",")) items += expr()
+              expectPunct("]")
+            }
+            ListLit(items.result())
           }
-          ListLit(items.result())
         }
       case Some(_: TNum) | Some(_: TStr) => literal()
       case Some(TIdent(s)) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => literal()
@@ -896,7 +926,8 @@ object Cypher {
       * keys; `agg` = None gives the EXISTS marker join (key-distinct sub),
       * Some(item) appends that aggregate to the sub's implicit grouping
       * (COUNT subqueries). Returns the joined marker/value column. */
-    def patternJoin(ch: Chain, where: Option[Expr], agg: Option[Expr]): Column = {
+    def patternJoin(ch: Chain, where: Option[Expr],
+                    agg: Option[Expr]): (Column, org.apache.spark.sql.types.DataType) = {
       val corr = patternCorr(ch)
       existsN += 1
       val tag = s"__ex$existsN"
@@ -908,14 +939,22 @@ object Cypher {
       val sub = if (agg.isEmpty) sub0.withColumn(tag, lit(true)) else sub0
       val cond = keys.map { case (v, n) => col(bound(v)) === col(n) }.reduce(_ && _)
       acc = acc.join(sub, cond, "left").drop(keys.map(_._2): _*)
-      col(tag)
+      (col(tag), sub.schema(tag).dataType)
     }
     def existsCol(ch: Chain, where: Option[Expr]): Column =
       if (probing) lit(false) // type probe: no join, boolean shape only
-      else coalesce(patternJoin(ch, where, None), lit(false))
+      else coalesce(patternJoin(ch, where, None)._1, lit(false))
     def countCol(ch: Chain, where: Option[Expr]): Column =
       if (probing) lit(0L)
-      else coalesce(patternJoin(ch, where, Some(Fn("count", None))), lit(0L))
+      else coalesce(patternJoin(ch, where, Some(Fn("count", None)))._1, lit(0L))
+    /** Pattern comprehension: the decorrelated sub collects one element
+      * per matching path; unmatched outer keys coalesce to a typed []. */
+    def compCol(ch: Chain, where: Option[Expr], map: Expr): Column =
+      if (probing) array() // type probe: list shape only, no join
+      else {
+        val (c, dt) = patternJoin(ch, where, Some(Fn("collect", Some(map))))
+        coalesce(c, array().cast(dt))
+      }
 
     def exprCol(e: Expr): Column = e match {
       case Lit(v) => lit(v)
@@ -992,6 +1031,7 @@ object Cypher {
       case IsNull(x, true) => exprCol(x).isNotNull
       case p: PatternPred => existsCol(p.chain, p.where)
       case c: PatternCount => countCol(c.chain, c.where)
+      case c: PatternComp => compCol(c.chain, c.where, c.map)
       // legacy exists(): pattern argument = pattern predicate; any other
       // argument = property-existence test (openCypher exists(n.prop));
       // legacy size(pattern) = the correlated match count
@@ -1480,6 +1520,7 @@ object Cypher {
           (ch.first.v.toSeq ++ ch.hops.flatMap(h => h._1.v.toSeq ++ h._2.v.toSeq)).toSet ++
             w.toSeq.flatMap(exprVars)
         case PatternCount(ch, w) => exprVars(PatternPred(ch, w))
+        case PatternComp(ch, w, m) => exprVars(PatternPred(ch, w)) ++ exprVars(m)
         case _ => Set.empty
       }
       part.where.foreach { w =>

@@ -671,6 +671,47 @@ class CypherSpec extends AnyFunSuite {
     assert(late == Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)))
   }
 
+  test("pattern comprehensions: [(a)-[e]->(b) WHERE p | expr], [] default") {
+    // one element per matching EVENT; element order unspecified — sort
+    val l = Cypher.run(g,
+      "MATCH (a) RETURN a.id AS id, [(a)-[e]->(b) | b.id] AS l ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toSeq
+    assert(l == Seq(0L -> Seq(1L, 2L), 1L -> Seq(2L), 2L -> Seq(0L, 3L), 3L -> Seq(0L)))
+    // inner WHERE filters matches; no match = typed [] (not NULL)
+    val hot = Cypher.run(g,
+      "MATCH (a) RETURN a.id AS id, [(a)-[e]->(b) WHERE e.weight > 10 | b.id] AS l " +
+        "ORDER BY id").collect()
+    assert(hot.forall(r => !r.isNullAt(1) && r.getSeq[Long](1).isEmpty))
+    // map is a full expression over pattern + correlated vars
+    val expr = Cypher.run(g,
+      "MATCH (a) WHERE a.id = 2 RETURN [(a)-[e]->(b) WHERE e.ts >= 4 | b.id + 10] AS l")
+      .head().getSeq[Long](0).sorted
+    assert(expr == Seq(10L, 13L))
+    // composes with reduce (deterministic sum) and size()
+    val sums = Cypher.run(g,
+      "MATCH (a) RETURN a.id AS id, reduce(s = 0, x IN [(a)-[e]->(b) | b.id] | s + x) AS t, " +
+        "size([(a)-[e2]->(b2) | b2.id]) AS n ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sums == Seq((0L, 3L, 2L), (1L, 2L, 1L), (2L, 3L, 2L), (3L, 0L, 1L)))
+    // multi-hop chain in the sub (relationship uniqueness applies inside)
+    val twoHop = Cypher.run(g,
+      "MATCH (a) WHERE a.id = 0 RETURN [(a)-[e]->(b)-[f]->(c) | c.id] AS l")
+      .head().getSeq[Long](0).sorted
+    assert(twoHop == Seq(0L, 2L, 3L)) // 0→1→2, 0→2→3, 0→2→0
+    // works in WHERE position through quantifiers
+    assert(Cypher.run(g,
+      "MATCH (a) WHERE any(x IN [(a)-[e]->(b) | e.weight] WHERE x >= 5) " +
+        "RETURN a.id AS id").collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+    // the list-literal fallback still parses parenthesized heads
+    assert(Cypher.run(g, "MATCH (a) WHERE a.id = 0 RETURN [(1 + 2), 3] AS l")
+      .head().getSeq[Long](0) == Seq(3L, 3L))
+    // an uncorrelated comprehension is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a) RETURN [(x)-[e]->(y) | y.id] AS l")
+    }
+    assert(err.getMessage.contains("bound node variable"))
+  }
+
   test("list HOFs: comprehensions, quantifiers, reduce (codegen'd, no UDFs)") {
     // comprehension: filter + map over range()
     val evens = Cypher.run(g,

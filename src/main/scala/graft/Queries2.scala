@@ -569,6 +569,21 @@ object Queries2 {
           lshJaccard(s, d).filter(col("jaccard") >= 0.7))
         .select(col("id").as("doc_id"), col("cluster"),
           col("keep").cast("long").as("keep"))),
+    // composed curation pipeline (TextOps.curate): quality gate → lang
+    // filter → fingerprint dedup (keep min doc id) → survivor token
+    // counts, one scan + one fingerprint-keyed hash aggregate. The input
+    // unions a leading-space mirror of every document (ids offset 10^6):
+    // the synthetic corpus has no duplicates, and the mirror normalises
+    // to the same fingerprint, so the dedup arm demonstrably collapses
+    // every kept group to the original id (minChars = 150 also exercises
+    // the border where only the 1-char-longer mirror survives)
+    "d_pipeline" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val mirrored = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit(" "), col("text")).as("text"))
+      TextOps.curate(docs.unionByName(mirrored), minChars = 150,
+        maxDigitRatio = 0.3, langs = Seq("en"))
+    }),
     "d_simhash" -> ((s, d) => Dedup.simhash(tbl(s, d, "documents"))),
     // embedding-cosine near-dup baseline (cross product; the scale path is
     // the bucketed sim.Ann family). Threshold 0.3 sits >=5.9e-7 away from
@@ -1432,6 +1447,38 @@ object Queries2 {
     "d_lsh_capped" -> lshCandSql(withJaccard = false, maxBucketSize = 3L),
     "d_minhash_jaccard" -> lshCandSql(withJaccard = true),
     "d_dup_clusters" -> dupClustersSql,
+    // composed curation pipeline: the t_quality / t_lang_guess /
+    // t_fingerprint / t_token_count oracle formulas chained, survivor =
+    // arg-min by doc id per fingerprint group
+    "d_pipeline" ->
+      """WITH docs2 AS (SELECT doc_id, text FROM documents
+        |            UNION ALL SELECT doc_id + 1000000, ' ' || text FROM documents),
+        |s AS (SELECT doc_id, text,
+        |            ' ' || replace(lower(text), ' ', '  ') || ' ' AS s FROM docs2),
+        |h AS (SELECT doc_id, text,
+        |  CAST((length(s) - length(replace(s, ' the ', ''))) / 5
+        |     + (length(s) - length(replace(s, ' and ', ''))) / 5
+        |     + (length(s) - length(replace(s, ' of ', ''))) / 4 AS BIGINT) AS en_hits,
+        |  CAST((length(s) - length(replace(s, ' der ', ''))) / 5
+        |     + (length(s) - length(replace(s, ' und ', ''))) / 5
+        |     + (length(s) - length(replace(s, ' die ', ''))) / 5 AS BIGINT) AS de_hits,
+        |  CAST((length(s) - length(replace(s, ' le ', ''))) / 4
+        |     + (length(s) - length(replace(s, ' la ', ''))) / 4
+        |     + (length(s) - length(replace(s, ' et ', ''))) / 4 AS BIGINT) AS fr_hits
+        |FROM s),
+        |q AS (SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1), 6) AS digit_ratio,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS lang_guess
+        |FROM h),
+        |f AS (SELECT doc_id, n_chars,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  CAST(length(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM q WHERE n_chars >= 150 AND digit_ratio <= 0.3 AND lang_guess = 'en')
+        |SELECT min(doc_id) AS doc_id, fp, CAST(count(*) AS BIGINT) AS n_dups,
+        |  arg_min(n_chars, doc_id) AS n_chars, arg_min(n_tokens, doc_id) AS n_tokens
+        |FROM f GROUP BY fp""".stripMargin,
     "d_simhash" -> simhashSql,
     // cross-product cosine pairs; filter on the UNROUNDED cosine like the
     // Spark side, round only for output

@@ -68,6 +68,35 @@ object TextOps {
   def md5u32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** Composed curation pipeline — the shape a training-data run actually
+    * executes at 100 TB: quality gate (min length, max digit ratio) →
+    * language filter → exact near-duplicate collapse on the whitespace-
+    * normalised fingerprint (keep the smallest doc id per group) → token
+    * count for every survivor. ONE scan + ONE hash aggregate: the
+    * survivor's columns fold into the fingerprint groupBy as min(struct)
+    * (doc ids are unique, so lexicographic struct-min IS arg-min by id),
+    * no join-back; filters run before the shuffle, partial aggregation
+    * map-side, shuffle keyed on the fingerprint (uniform — md5).
+    * Returns (idCol, fp, n_dups, n_chars, n_tokens) per kept document. */
+  def curate(docs: DataFrame, minChars: Long, maxDigitRatio: Double,
+             langs: Seq[String], idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    val quality = qualityColumns(col(textCol)).toMap
+    val enriched = withLangGuess(docs, textCol)
+      .withColumn("n_chars", quality("n_chars"))
+      .withColumn("digit_ratio", quality("digit_ratio"))
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("fp", fingerprint(col(textCol)))
+    enriched
+      .filter(col("n_chars") >= minChars && col("digit_ratio") <= maxDigitRatio &&
+        col("lang_guess").isin(langs: _*))
+      .groupBy(col("fp"))
+      .agg(min(struct(col(idCol), col("n_chars"), col("n_tokens"))).as("keep"),
+        count(lit(1)).as("n_dups"))
+      .select(col(s"keep.$idCol").as(idCol), col("fp"), col("n_dups"),
+        col("keep.n_chars").as("n_chars"), col("keep.n_tokens").as("n_tokens"))
+  }
+
   /** Distinct character n-gram shingles: (id, shingle). Texts shorter than
     * n yield one (possibly short) shingle — the greatest(..., 1) lower
     * bound keeps Spark's `sequence` ascending AND matches DuckDB's

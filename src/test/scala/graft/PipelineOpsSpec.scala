@@ -23,6 +23,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     (6L, "le chat et la souris et le chien et la maison")
   ).toDF("doc_id", "text")
 
+  test("curate: quality gate -> lang filter -> fingerprint dedup -> survivor tokens") {
+    val corpus = Seq(
+      (0L, "the quick brown fox and the lazy dog of the north ran over the hill"),
+      (1L, "The  quick brown fox and the lazy dog of the north ran over the hill"), // normalized dup of 0
+      (2L, "short of the and"),                                                     // < minChars
+      (3L, "the 1234567890 9876543210 0123456789 data and of the 111 222 333 444"), // digit-heavy
+      (4L, "der hund und die katze und der vogel und die maus liefen durch den wald"), // German
+      (5L, "a second unique english document about the engine and the graph of links")
+    ).toDF("doc_id", "text")
+    val kept = TextOps.curate(corpus, minChars = 20, maxDigitRatio = 0.3, langs = Seq("en"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dups"), r.getAs[Long]("n_tokens")))).toMap
+    // doc 2 fails minChars, doc 3 fails digit ratio, doc 4 guesses de;
+    // docs 0/1 share a whitespace/case-normalised fingerprint -> keep 0
+    assert(kept.keySet == Set(0L, 5L))
+    assert(kept(0L) == ((2L, 15L)))
+    assert(kept(5L)._1 == 1L)
+    // survivor columns come from the min-id row (struct-min = arg-min by id)
+    val tok0 = TextOps.curate(corpus, 20, 0.3, Seq("en"))
+      .filter(col("doc_id") === 0L).head().getAs[Long]("n_tokens")
+    assert(tok0 == 15L)
+  }
+
   test("exact dedup groups") {
     val g = Dedup.exactGroups(docs).collect()
     val dupGroup = g.filter(_.getAs[Long]("n_docs") > 1)

@@ -162,6 +162,18 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads more columns than the projection: $readSchema")
   }
 
+  test("curate pipeline: ONE exchange (fingerprint groupBy), no join, no sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = graft.text.TextOps.curate(docs, 150, 0.3, Seq("en"))
+    kept.count() // materialise so AQE finalises the executed plan
+    val s = plan(kept)
+    assert(!s.contains("SortMergeJoin") && !s.contains("SortExec") &&
+      !s.contains("BroadcastHashJoin"), s"curate plan grew a join/sort:\n$s")
+    // exactly one shuffle: the md5-fingerprint hash aggregate
+    val shuffleCount = s.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffleCount == 1, s"expected 1 exchange, saw $shuffleCount:\n$s")
+  }
+
   test("TF-IDF search: the query-term idf join broadcasts (no all-to-all)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val res = graft.text.Search.search(docs, Seq("spark", "query"), k = 5)

@@ -155,6 +155,11 @@ object Cypher {
     * collect_list(expr) per correlated-key tuple — with an empty-array
     * coalesce so unmatched outer rows get [] (not NULL). */
   case class PatternComp(chain: Chain, where: Option[Expr], map: Expr) extends Expr
+  /** Query parameter `$name` (grammar Parameter, cypher.pest:394) —
+    * resolved from the params map passed to run() and planned as a
+    * literal (scalars) or array-of-literals (Seq/Array values, usable
+    * with IN and the list HOFs). */
+  case class Param(name: String) extends Expr
 
   case class NodePat(v: Option[String], label: Option[String], props: Map[String, Lit])
   /** `undirected = true` for `-[e]-`: the pattern matches each event in
@@ -200,6 +205,7 @@ object Cypher {
   private case class TNum(s: String) extends Tok
   private case class TStr(s: String) extends Tok
   private case class TPunct(s: String) extends Tok
+  private case class TParam(s: String) extends Tok
 
   private def tokenize(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -219,6 +225,11 @@ object Cypher {
         val end = s.indexOf(c, i + 1)
         require(end > 0, s"unterminated string at $i")
         out += TStr(s.substring(i + 1, end)); i = end + 1
+      } else if (c == '$') { // query parameter $name / $0 (grammar Parameter)
+        val j = s.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i + 1)
+        val end = if (j < 0) s.length else j
+        require(end > i + 1, s"empty parameter name at $i")
+        out += TParam(s.substring(i + 1, end)); i = end
       } else {
         val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
         if (Set("->", "<-", "<>", "<=", ">=").contains(two)) { out += TPunct(two); i += 2 }
@@ -439,6 +450,7 @@ object Cypher {
           }
         }
       case Some(_: TNum) | Some(_: TStr) => literal()
+      case Some(TParam(n)) => pos += 1; Param(n)
       case Some(TIdent(s)) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => literal()
       case Some(TIdent(s)) if s.equalsIgnoreCase("CASE") =>
         pos += 1
@@ -720,9 +732,14 @@ object Cypher {
 
   // ---------- planner: Query -> DataFrame ----------
 
-  def run(g: LinkGraph, text: String): DataFrame = {
+  def run(g: LinkGraph, text: String): DataFrame = run(g, text, Map.empty[String, Any])
+
+  /** Run with query parameters: `$name` in any expression position reads
+    * params("name") — scalars become literals, Seq/Array values become
+    * array literals (so `a.id IN $ids` and the list HOFs work). */
+  def run(g: LinkGraph, text: String, params: Map[String, Any]): DataFrame = {
     val (qs, all) = new Parser(tokenize(text)).queryList()
-    val frames = qs.map(plan(g, _))
+    val frames = qs.map(plan(g, _, params))
     val combined = frames.reduce { (a, b) =>
       require(a.columns.toSeq == b.columns.toSeq,
         s"UNION branches must return the same columns " +
@@ -732,7 +749,7 @@ object Cypher {
     if (qs.length > 1 && !all) combined.dropDuplicates() else combined
   }
 
-  def plan(g: LinkGraph, q: Query): DataFrame = {
+  def plan(g: LinkGraph, q: Query, params: Map[String, Any] = Map.empty): DataFrame = {
     var fresh = 0
     val synth = scala.collection.mutable.Set.empty[String]
     def freshEdge(): String = { fresh += 1; val n = s"_e$fresh"; synth += n; n }
@@ -935,7 +952,7 @@ object Cypher {
       val keyItems = keys.map { case (v, n) => RetItem(VarRef(v), Some(n)) }
       val items = keyItems ++ agg.map(a => RetItem(a, Some(tag)))
       val sub0 = plan(g, Query(Seq(MatchPart(Seq(ch), where)), distinct = agg.isEmpty,
-        returnAll = false, items, Seq.empty, None, None))
+        returnAll = false, items, Seq.empty, None, None), params)
       val sub = if (agg.isEmpty) sub0.withColumn(tag, lit(true)) else sub0
       val cond = keys.map { case (v, n) => col(bound(v)) === col(n) }.reduce(_ && _)
       acc = acc.join(sub, cond, "left").drop(keys.map(_._2): _*)
@@ -958,6 +975,14 @@ object Cypher {
 
     def exprCol(e: Expr): Column = e match {
       case Lit(v) => lit(v)
+      case Param(n) =>
+        val v = params.getOrElse(n,
+          throw new IllegalArgumentException(s"missing query parameter $$$n"))
+        v match {
+          case xs: Seq[_] => array(xs.map(x => lit(x)): _*)
+          case xs: Array[_] => array(xs.toSeq.map(x => lit(x)): _*)
+          case x => lit(x)
+        }
       case ListLit(items) => array(items.map(exprCol): _*)
       case VarRef(v) if lambdaVars.contains(v) =>
         if (probing) lambdaPh(v) else lambdaVars(v)

@@ -671,6 +671,30 @@ class CypherSpec extends AnyFunSuite {
     assert(late == Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)))
   }
 
+  test("query parameters: $name scalars, $list with IN, missing param error") {
+    assert(Cypher.run(g, "MATCH (a) WHERE a.id = $x RETURN a.id AS id",
+      Map("x" -> 2L)).head().getLong(0) == 2L)
+    // string + numeric params through expressions and comparisons
+    assert(Cypher.run(g,
+      "MATCH (a) WHERE a.name = $nm RETURN a.id + $off AS v",
+      Map("nm" -> "two", "off" -> 100L)).head().getLong(0) == 102L)
+    // list parameter with IN and inside HOFs
+    assert(Cypher.run(g, "MATCH (a) WHERE a.id IN $ids RETURN count(*) AS n",
+      Map("ids" -> Seq(0L, 3L))).head().getLong(0) == 2L)
+    assert(Cypher.run(g,
+      "MATCH (a) WHERE a.id = 0 RETURN reduce(s = 0, x IN $ids | s + x) AS t",
+      Map("ids" -> Seq(1L, 2L, 3L))).head().getLong(0) == 6L)
+    // params participate in pattern-subquery WHEREs
+    assert(Cypher.run(g,
+      "MATCH (a) WHERE COUNT { MATCH (a)-[f]->(c) WHERE f.weight >= $w } >= 1 " +
+        "RETURN a.id AS id", Map("w" -> 5.0)).collect().map(_.getLong(0)).toSet
+      == Set(0L, 2L))
+    val err = intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (a) WHERE a.id = $missing RETURN a.id AS id")
+    }
+    assert(err.getMessage.contains("missing query parameter"))
+  }
+
   test("pattern comprehensions: [(a)-[e]->(b) WHERE p | expr], [] default") {
     // one element per matching EVENT; element order unspecified — sort
     val l = Cypher.run(g,

@@ -221,6 +221,16 @@ object Queries2 {
       s.createDataset(counts.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
         .toDF("motif", "n")
     }),
+    // standalone modularity metric (community_detection/modularity.rs):
+    // Q of a fixed deterministic partition (community = vid mod 7) so the
+    // oracle replays the exact algebra in SQL with no aux dump — unlike
+    // g_louvain below, which oracles modularity only on the emitted
+    // partition's consistency
+    "g_modularity" -> ((s, d) => {
+      val g = graph(s, d)
+      val part = g.nodes.select(col("vid"), (col("vid") % 7).as("community"))
+      one(s, "modularity" -> round(lit(graft.algo.Louvain.modularityDF(g, part)), 6))
+    }),
     // Louvain labels are not SQL-recomputable (seeded ChaCha shuffle), so
     // the oracle checks the PARTITION's consistency instead: the emitted
     // (id, community) rows are dumped to the aux dir, and DuckDB
@@ -746,6 +756,31 @@ object Queries2 {
          |       (SELECT min(degree) FROM idg) AS min_in_degree""".stripMargin,
     "g_pagerank_median" -> Queries.pagerankOracle(
       "SELECT round(median(score), 9) AS median FROM pr WHERE iter = 20"),
+    // standalone modularity of the deterministic vid%7 partition — the
+    // same undirected collapsed-pair-weight algebra as g_louvain's check,
+    // but the partition itself is SQL-expressible so the whole metric is
+    // recomputed end-to-end
+    "g_modularity" ->
+      s"""WITH $sqlGraph,
+         |part AS (SELECT id, id % 7 AS community FROM nodes),
+         |pw AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         |              CAST(count(*) AS DOUBLE) AS w
+         |       FROM ev GROUP BY 1, 2),
+         |mt AS (SELECT sum(w) AS m FROM pw),
+         |kn AS (SELECT id, sum(kv) AS k FROM (
+         |         SELECT a AS id, CASE WHEN a = b THEN 2 * w ELSE w END AS kv FROM pw
+         |         UNION ALL
+         |         SELECT b AS id, w AS kv FROM pw WHERE a <> b) t
+         |       GROUP BY id),
+         |kc AS (SELECT p.community AS c, sum(kn.k) AS kcom
+         |       FROM kn JOIN part p ON p.id = kn.id GROUP BY 1),
+         |intra AS (SELECT pa.community AS c, sum(pw.w) AS i FROM pw
+         |          JOIN part pa ON pa.id = pw.a JOIN part pb ON pb.id = pw.b
+         |          WHERE pa.community = pb.community GROUP BY 1),
+         |qv AS (SELECT sum(coalesce(i.i, 0) / (SELECT m FROM mt)
+         |             - pow(kc.kcom / (2 * (SELECT m FROM mt)), 2)) AS q
+         |       FROM kc LEFT JOIN intra i ON i.c = kc.c)
+         |SELECT round(q, 6) AS modularity FROM qv""".stripMargin,
     // Louvain partition consistency (see the query comment): modularity is
     // recomputed from the aux-dumped partition with the same algebra as
     // algo/Louvain.modularity — undirected collapsed pair weights, k(v)

@@ -296,6 +296,13 @@ object Queries2 {
       graft.cypher.Cypher.run(graph(s, d),
         "MATCH (a)-[e]->(b) RETURN a.id AS src, b.id AS dst, e.ts AS ts " +
           "ORDER BY src, dst, ts SKIP 100 LIMIT 50")),
+    // query parameters: $t0 scalar (comparison + arithmetic) and $ids
+    // list (IN-list membership) resolved from the params map at plan time
+    "cy_params" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[e]->(b) WHERE e.ts >= $t0 AND a.id % 13 IN $mods " +
+          "RETURN a.id AS id, count(*) AS n, min(e.ts) AS first_ts",
+        Map("t0" -> 1000L, "mods" -> Seq(0L, 3L, 7L)))),
     // aggregate DISTINCT (openCypher expression-DISTINCT): distinct
     // out-neighbour count beside the raw event count per source
     "cy_distinct" -> ((s, d) =>
@@ -839,6 +846,12 @@ object Queries2 {
       s"""WITH $sqlGraph
          |SELECT src, dst, ts FROM ev
          |ORDER BY src, dst, ts LIMIT 50 OFFSET 100""".stripMargin,
+    "cy_params" ->
+      s"""WITH $sqlGraph
+         |SELECT src AS id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(ts) AS BIGINT) AS first_ts
+         |FROM ev WHERE ts >= 1000 AND src % 13 IN (0, 3, 7)
+         |GROUP BY src""".stripMargin,
     "cy_distinct" ->
       s"""WITH $sqlGraph
          |SELECT src AS id, CAST(count(DISTINCT dst) AS BIGINT) AS nbrs,

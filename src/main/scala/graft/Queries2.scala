@@ -296,6 +296,17 @@ object Queries2 {
       graft.cypher.Cypher.run(graph(s, d),
         "MATCH (a)-[e]->(b) RETURN a.id AS src, b.id AS dst, e.ts AS ts " +
           "ORDER BY src, dst, ts SKIP 100 LIMIT 50")),
+    // holistic aggregates: percentileCont (Catalyst exact interpolating
+    // percentile), percentileDisc (nearest-rank over a sorted collect) and
+    // stDev, grouped by an arithmetic bucket; rounding is compare glue
+    // applied to the Cypher result frame
+    "cy_percentile" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "MATCH (a)-[e]->(b) RETURN a.id % 10 AS bucket, " +
+          "percentileCont(e.ts % 1000, 0.5) AS p50, " +
+          "percentileDisc(e.ts % 1000, 0.25) AS p25, stDev(e.ts % 1000) AS sd")
+        .select(col("bucket"), round(col("p50"), 6).as("p50"), col("p25"),
+          round(col("sd"), 6).as("sd"))),
     // query parameters: $t0 scalar (comparison + arithmetic) and $ids
     // list (IN-list membership) resolved from the params map at plan time
     "cy_params" -> ((s, d) =>
@@ -846,6 +857,25 @@ object Queries2 {
       s"""WITH $sqlGraph
          |SELECT src, dst, ts FROM ev
          |ORDER BY src, dst, ts LIMIT 50 OFFSET 100""".stripMargin,
+    // percentileDisc is nearest-rank (rank ceil(p·n), min 1) — replayed
+    // with an explicit row_number window, NOT DuckDB's quantile_disc,
+    // so the definition under test is pinned; quantile_cont and
+    // stddev_samp share Spark's exact definitions
+    "cy_percentile" ->
+      s"""WITH $sqlGraph,
+         |vals AS (SELECT src % 10 AS bucket, ts % 1000 AS v FROM ev),
+         |ranked AS (SELECT bucket, v,
+         |             row_number() OVER (PARTITION BY bucket ORDER BY v) AS rn,
+         |             count(*) OVER (PARTITION BY bucket) AS n FROM vals),
+         |disc AS (SELECT bucket,
+         |           max(CASE WHEN rn = greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)
+         |               THEN v END) AS p25
+         |         FROM ranked GROUP BY bucket),
+         |agg AS (SELECT bucket, round(quantile_cont(v, 0.5), 6) AS p50,
+         |               round(stddev_samp(v), 6) AS sd
+         |        FROM vals GROUP BY bucket)
+         |SELECT a.bucket, a.p50, CAST(d.p25 AS BIGINT) AS p25, a.sd
+         |FROM agg a JOIN disc d USING (bucket)""".stripMargin,
     "cy_params" ->
       s"""WITH $sqlGraph
          |SELECT src AS id, CAST(count(*) AS BIGINT) AS n,

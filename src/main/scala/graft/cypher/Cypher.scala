@@ -77,7 +77,10 @@ import graft.graph.LinkGraph
   *    implicit grouping (non-aggregate RETURN/WITH items become the
   *    keys), each accepting expression-DISTINCT (count(DISTINCT x),
   *    collect(DISTINCT x) -> collect_set; count(DISTINCT e) over a
-  *    whole edge variable counts distinct event tuples).
+  *    whole edge variable counts distinct event tuples); plus
+  *    stDev/stDevP (sample/population) and percentileCont/
+  *    percentileDisc(expr, p) — cont is Catalyst's exact interpolating
+  *    percentile, disc is nearest-rank over a sorted collect.
   *
   * Bindings: an edge variable binds one exploded edge EVENT row (the
   * reference returns one row per event, lib.rs:241-255) with columns
@@ -92,7 +95,8 @@ object Cypher {
 
   /** The aggregate functions (shared by parser and planner: the parser
     * routes these to [[Fn]], everything else to [[FnN]]). */
-  private val AggNames = Set("count", "sum", "min", "max", "avg", "collect")
+  private val AggNames =
+    Set("count", "sum", "min", "max", "avg", "collect", "stdev", "stdevp")
 
   // ---------- AST ----------
   sealed trait Expr
@@ -110,6 +114,10 @@ object Cypher {
   /** Aggregate call: count/sum/min/max/avg/collect — count(*) has arg
     * None. Scalar functions parse to [[FnN]]. */
   case class Fn(name: String, arg: Option[Expr], distinct: Boolean = false) extends Expr
+  /** Two-argument holistic aggregate percentileCont/percentileDisc(expr, p)
+    * — p must be a numeric literal in [0,1] (openCypher; the reference
+    * grammar parses these FunctionInvocation shapes, never executes them). */
+  case class PctFn(name: String, arg: Expr, p: Double) extends Expr
   /** Scalar function call (lower-cased name, any arity): type(e), id(n),
     * coalesce, substring, toInteger, abs, ... — see exprCol for the map. */
   case class FnN(name: String, args: Seq[Expr]) extends Expr
@@ -511,7 +519,20 @@ object Cypher {
             val nm = v.toLowerCase
             if (AggNames(nm)) {
               require(as.length == 1, s"aggregate $nm takes exactly one argument")
+              require(!d || !Set("stdev", "stdevp")(nm),
+                s"DISTINCT is not supported for $nm")
               Fn(nm, Some(as.head), d)
+            } else if (nm == "percentilecont" || nm == "percentiledisc") {
+              require(as.length == 2, s"$nm takes (expression, percentile)")
+              require(!d, s"DISTINCT is not supported for $nm")
+              val p = as(1) match {
+                case Lit(x: Long) => x.toDouble
+                case Lit(x: Double) => x
+                case other => throw new IllegalArgumentException(
+                  s"$nm percentile must be a numeric literal, got $other")
+              }
+              require(p >= 0.0 && p <= 1.0, s"$nm percentile must be in [0,1], got $p")
+              PctFn(nm, as.head, p)
             } else {
               require(!d, s"DISTINCT is only valid inside an aggregate, not $nm()")
               FnN(nm, as)
@@ -1093,6 +1114,8 @@ object Cypher {
       case f: FnN => scalarFn(f)
       case Fn(n, _, _) => throw new IllegalArgumentException(
         s"aggregate $n only valid as a top-level RETURN/WITH item")
+      case PctFn(n, _, _) => throw new IllegalArgumentException(
+        s"aggregate $n only valid as a top-level RETURN/WITH item")
     }
 
     /** Scalar function map (openCypher names, lower-cased by the parser).
@@ -1166,6 +1189,7 @@ object Cypher {
 
     def topAgg(e: Expr): Boolean = e match {
       case Fn(n, _, _) => AggNames(n)
+      case _: PctFn => true
       case _ => false
     }
     def aggColOf(e: Expr): Column = e match {
@@ -1187,6 +1211,22 @@ object Cypher {
       case Fn("avg", Some(a), false) => avg(exprCol(a))
       case Fn("collect", Some(a), true) => collect_set(exprCol(a))
       case Fn("collect", Some(a), false) => collect_list(exprCol(a))
+      // openCypher stDev = sample, stDevP = population
+      case Fn("stdev", Some(a), _) => stddev_samp(exprCol(a))
+      case Fn("stdevp", Some(a), _) => stddev_pop(exprCol(a))
+      // percentileCont: exact linear interpolation at (n-1)*p — Catalyst's
+      // exact `percentile` aggregate (codegen'd, same definition as
+      // openCypher/DuckDB quantile_cont)
+      case PctFn("percentilecont", a, p) => percentile(exprCol(a), lit(p))
+      // percentileDisc: nearest-rank (smallest value whose cumulative rank
+      // reaches p — rank ceil(p·n), min 1). Holistic by definition: the
+      // group is collected into one sorted array, so group cardinality is
+      // the caller's bound (like collect()); fine for the analytics use,
+      // not a 100-TB hot path.
+      case PctFn("percentiledisc", a, p) =>
+        val c = exprCol(a)
+        element_at(array_sort(collect_list(c)),
+          greatest(ceil(lit(p) * count(c)), lit(1L)).cast("int"))
       case other => throw new IllegalArgumentException(s"unsupported aggregate $other")
     }
     def itemName(e: Expr, alias: Option[String], i: Int): String = alias.getOrElse(e match {
@@ -1194,6 +1234,7 @@ object Cypher {
       case VarRef(v) => if (valueVars.contains(v)) v else s"${v}_vid"
       case Fn("count", _, _) => "count"
       case Fn(n, _, _) => n
+      case PctFn(n, _, _) => n
       case FnN(n, _) => n
       case _ => s"col$i"
     })
@@ -1529,6 +1570,7 @@ object Cypher {
         case Not(x) => exprVars(x)
         case IsNull(x, _) => exprVars(x)
         case Fn(_, a, _) => a.map(exprVars).getOrElse(Set.empty)
+        case PctFn(_, a, _) => exprVars(a)
         case FnN(_, as) => as.flatMap(exprVars).toSet
         case Arith(_, l, r) => exprVars(l) ++ exprVars(r)
         case Neg(x) => exprVars(x)

@@ -1009,4 +1009,50 @@ class CypherSpec extends AnyFunSuite {
     assert(Cypher.run(g, "MATCH (a)-[e]-(b) RETURN count(DISTINCT e) AS n")
       .head().getLong(0) == 6L)
   }
+
+  test("stDev / stDevP: sample and population standard deviation") {
+    // weights {1..6}: mean 3.5, Σ(x-x̄)² = 17.5 → samp √(17.5/5), pop √(17.5/6)
+    val r = Cypher.run(g,
+      "MATCH ()-[e]->() RETURN stDev(e.weight) AS sd, stDevP(e.weight) AS sdp").head()
+    assert(math.abs(r.getDouble(0) - math.sqrt(3.5)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(17.5 / 6)) < 1e-12)
+  }
+
+  test("percentileCont: exact linear interpolation at (n-1)*p") {
+    // sorted weights (1,2,3,4,5,6): p=0.5 → rank 2.5 → 3.5; p=0.2 → rank 1.0 → 2.0
+    val r = Cypher.run(g, "MATCH ()-[e]->() RETURN " +
+      "percentileCont(e.weight, 0.5) AS p50, percentileCont(e.weight, 0.2) AS p20").head()
+    assert(r.getDouble(0) == 3.5 && r.getDouble(1) == 2.0)
+  }
+
+  test("percentileDisc: nearest-rank ceil(p*n), grouped by layer") {
+    // layer a weights {1,2,4,6}: rank ceil(0.5*4)=2 → 2.0
+    // layer b weights {3,5}:    rank ceil(0.5*2)=1 → 3.0
+    val rows = Cypher.run(g, "MATCH ()-[e]->() RETURN type(e) AS l, " +
+      "percentileDisc(e.weight, 0.5) AS p50 ORDER BY l")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(("a", 2.0), ("b", 3.0)))
+    // p=0 and p=1 are the min / max elements
+    val mm = Cypher.run(g, "MATCH ()-[e]->() RETURN " +
+      "percentileDisc(e.weight, 0) AS lo, percentileDisc(e.weight, 1) AS hi").head()
+    assert(mm.getDouble(0) == 1.0 && mm.getDouble(1) == 6.0)
+  }
+
+  test("percentile aggregate errors: arity, range, DISTINCT, scalar position") {
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH ()-[e]->() RETURN percentileCont(e.weight) AS p")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH ()-[e]->() RETURN percentileDisc(e.weight, 1.5) AS p")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH ()-[e]->() RETURN percentileCont(DISTINCT e.weight, 0.5) AS p")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH ()-[e]->() RETURN stDev(DISTINCT e.weight) AS p")
+    }
+    intercept[IllegalArgumentException] { // aggregate buried in a WHERE
+      Cypher.run(g, "MATCH ()-[e]->() WHERE percentileCont(e.weight, 0.5) > 2 RETURN count(*) AS n")
+    }
+  }
 }

@@ -506,6 +506,21 @@ object Queries2 {
     // rolling rich-club — previously suite-only) -------------------------
     // window view (db/api/view/time.rs:115): per-node degrees inside
     // [lo + span/4, lo + span/2) — nodes induced by in-window endpoints
+    // expanding views (time.rs:154-162): 5-ish growing window(-inf, t)
+    // snapshots at t = lo+k·step; per view the event count and induced
+    // node count — the last view-family surface without a driver oracle
+    // (rolling is oracled by s_rolling_activity, window by
+    // g_window_degrees)
+    "g_expanding" -> ((s, d) => {
+      val g = graph(s, d)
+      val (lo, hi) = g.timeBounds.get
+      val step = math.max((hi - lo) / 5, 1L)
+      val rows = g.expanding(step).zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.edges.count(), v.nodeCount)
+      }
+      import s.implicits._
+      s.createDataset(rows).toDF("view_id", "n_events", "n_nodes")
+    }),
     "g_window_degrees" -> ((s, d) => {
       val g = graph(s, d)
       val (lo, hi) = g.timeBounds.get
@@ -1127,6 +1142,23 @@ object Queries2 {
          |  UNION ALL SELECT vid FROM r WHERE rank <= 5) t""".stripMargin,
     // window view degrees: same degree SQL as g_degrees over the
     // [lo + span/4, lo + span/2) event slice (span = maxTs + 1 - minTs)
+    // expanding(step): view k covers ts < lo + (k+1)·step, k while
+    // lo + k·step < hi (hi = max+1) — same integer arithmetic as
+    // LinkGraph.timeBounds/expanding
+    "g_expanding" ->
+      s"""WITH $sqlGraph,
+         |b AS (SELECT min(ts) AS lo, max(ts) + 1 AS hi FROM ev),
+         |s AS (SELECT lo, hi, greatest((hi - lo) // 5, 1) AS st FROM b),
+         |vw AS (SELECT k AS view_id,
+         |         (SELECT lo FROM s) + (k + 1) * (SELECT st FROM s) AS t
+         |       FROM (SELECT unnest(generate_series(0,
+         |              CAST((SELECT (hi - lo - 1) // st FROM s) AS BIGINT))) AS k))
+         |SELECT v.view_id,
+         |  (SELECT count(*) FROM ev WHERE ts < v.t) AS n_events,
+         |  (SELECT count(DISTINCT id) FROM (
+         |     SELECT src AS id FROM ev WHERE ts < v.t
+         |     UNION ALL SELECT dst FROM ev WHERE ts < v.t) u) AS n_nodes
+         |FROM vw v""".stripMargin,
     "g_window_degrees" ->
       s"""WITH $sqlGraph,
          |bounds AS (SELECT min(ts) AS lo, max(ts) + 1 AS hi FROM ev),

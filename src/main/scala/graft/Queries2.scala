@@ -684,6 +684,36 @@ object Queries2 {
           col("n"), col("sum_value"))),
     "s_rolling_activity" -> ((s, _) => // rolling() over crawl event-time
       StreamIngest.rollingActivity(tinyCrawl(s).edges, 30000L, 30000L)),
+    // streaming exact dedup driver-visible: the documents table replayed
+    // as two deterministic micro-batches (even doc_ids, then odd) through
+    // StreamIngest.dedupStream (flatMapGroupsWithState); the emitted
+    // (hash, kept id) rows follow the first-seen rule the oracle replays
+    // in SQL — batch-1 min id when the hash has an even-id row, else
+    // batch-2 min. Driver collect is the TEST HARNESS feeding
+    // MemoryStream, not the operator (state is executor-partitioned).
+    "s_dedup_stream" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val docs = tbl(s, d, "documents").filter(col("text").isNotNull)
+        .select(md5(col("text").cast("binary")).as("h"),
+          col("doc_id").cast("long").as("id"))
+      val b1 = docs.filter(col("id") % 2 === 0).as[(String, Long)].collect()
+      val b2 = docs.filter(col("id") % 2 =!= 0).as[(String, Long)].collect()
+      val input = MemoryStream[(String, Long)]
+      val out = StreamIngest.dedupStream(
+        input.toDF().toDF("content_hash", "doc_id"))
+      val q = out.writeStream.format("memory").queryName("s_dedup_stream_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(b1.toSeq: _*); q.processAllAvailable()
+        input.addData(b2.toSeq: _*); q.processAllAvailable()
+        val rows = s.table("s_dedup_stream_sink").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        s.createDataset(rows).toDF("content_hash", "doc_id")
+      } finally q.stop()
+    }),
     "m_media_features" -> ((s, d) => { // HeaderCodec: real header parse for the
       // crafted rows (ids 1000+), deterministic md5 stub fallback for the
       // synthetic rows — both driver-oracled over the aux media dump
@@ -1449,6 +1479,16 @@ object Queries2 {
          |  v(media_id, kind, n_bytes, width, height, sample_rate, n_frames)""".stripMargin,
     // Tumbling 30 s activity windows over the aux-dumped crawl events
     // (window width = step, epoch-aligned like Spark's window()).
+    // first-seen-batch replay: the even-id batch arrives first, so a hash
+    // with any even-id doc keeps its even minimum; otherwise the odd min
+    "s_dedup_stream" ->
+      s"""WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id, md5(text) AS h
+         |              FROM documents WHERE text IS NOT NULL)
+         |SELECT h AS content_hash,
+         |  CASE WHEN count(*) FILTER (WHERE id % 2 = 0) > 0
+         |       THEN min(id) FILTER (WHERE id % 2 = 0)
+         |       ELSE min(id) END AS doc_id
+         |FROM docs GROUP BY h""".stripMargin,
     "s_rolling_activity" ->
       s"""WITH ${Queries.crawlSqlGraph}
          |SELECT CAST(ts // 30000 * 30000 AS BIGINT) AS window_start,

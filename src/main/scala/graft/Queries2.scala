@@ -421,6 +421,11 @@ object Queries2 {
     // largest connected component (components/lcc.rs:25-68): member ids
     "g_lcc" -> ((s, d) =>
       graft.algo.Wcc.largestComponent(graph(s, d)).nodes.select(col("vid").as("id"))),
+    // per-node triangle counts (motifs/local_triangle_count.rs) — the
+    // direct surface behind local clustering, one enumeration, 3 credits
+    "g_local_triangles" -> ((s, d) =>
+      graft.algo.Triangles.perNode(graph(s, d))
+        .select(col("vid").as("id"), col("triangles"))),
     // per-node local clustering coefficient (local_clustering_coefficient.rs:57-77)
     "g_local_clustering" -> ((s, d) =>
       Metrics.localClusteringCoefficient(graph(s, d))
@@ -1052,6 +1057,20 @@ object Queries2 {
          |        ORDER BY count(*) DESC, component LIMIT 1)
          |SELECT id FROM comp WHERE component = (SELECT component FROM top)""".stripMargin,
     // 2*T_v / (d_v (d_v - 1)) over distinct non-self undirected neighbours
+    // same canonical-pair triangle enumeration as g_local_clustering's,
+    // but raw per-node counts (every node listed, 0 for triangle-free)
+    "g_local_triangles" ->
+      s"""WITH $sqlGraph,
+         |simple AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |           FROM edges WHERE src <> dst),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM simple e1 JOIN simple e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN simple e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |tcnt AS (SELECT v, count(*) AS t FROM (
+         |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri) u GROUP BY v)
+         |SELECT n.id, CAST(coalesce(tc.t, 0) AS BIGINT) AS triangles
+         |FROM nodes n LEFT JOIN tcnt tc ON tc.v = n.id""".stripMargin,
     "g_local_clustering" ->
       s"""WITH $sqlGraph,
          |simple AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

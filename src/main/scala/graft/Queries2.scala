@@ -689,6 +689,37 @@ object Queries2 {
           col("n"), col("sum_value"))),
     "s_rolling_activity" -> ((s, _) => // rolling() over crawl event-time
       StreamIngest.rollingActivity(tinyCrawl(s).edges, 30000L, 30000L)),
+    // streaming MinHash-LSH near-dup driver-visible: documents in two
+    // micro-batches (even ids, then odd) through StreamIngest.nearDupStream
+    // at the default 16/4 geometry and bucketCap=16. The cap semantics are
+    // deterministic under this feed — each batch replays its bucket group
+    // ascending by id, so the kept set per band bucket is the first 16 ids
+    // ordered by (batch parity, id); emitted pairs = all kept pairs with
+    // signature agreement >= 0.7, DISTINCT across shared buckets. The
+    // oracle replays exactly that rank rule over the SQL minhash replay.
+    "s_neardup_stream" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val docs = tbl(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val b1 = docs.filter(col("id") % 2 === 0).as[(Long, String)].collect()
+      val b2 = docs.filter(col("id") % 2 =!= 0).as[(Long, String)].collect()
+      val input = MemoryStream[(Long, String)]
+      val out = StreamIngest.nearDupStream(
+        input.toDF().toDF("doc_id", "text"))
+      val q = out.writeStream.format("memory").queryName("s_neardup_stream_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(b1.toSeq: _*); q.processAllAvailable()
+        input.addData(b2.toSeq: _*); q.processAllAvailable()
+        val rows = s.table("s_neardup_stream_sink").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).distinct.toSeq
+        s.createDataset(rows).toDF("a", "b", "sig_agreement")
+          .select(col("a"), col("b"), round(col("sig_agreement"), 6).as("sig_agreement"))
+      } finally q.stop()
+    }),
     // streaming exact dedup driver-visible: the documents table replayed
     // as two deterministic micro-batches (even doc_ids, then odd) through
     // StreamIngest.dedupStream (flatMapGroupsWithState); the emitted
@@ -1498,6 +1529,33 @@ object Queries2 {
          |  v(media_id, kind, n_bytes, width, height, sample_rate, n_frames)""".stripMargin,
     // Tumbling 30 s activity windows over the aux-dumped crawl events
     // (window width = step, epoch-aligned like Spark's window()).
+    // streaming near-dup replay: kept-per-bucket = first 16 ids by
+    // (batch parity, id) — the even batch's ascending replay fills the
+    // cap first; pairs among kept with >= 0.7 signature agreement
+    "s_neardup_stream" ->
+      s"""WITH $minhashShSql,
+         |${minhashSigSql(16)},
+         |bnd AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         |    md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed || ':' || minhash)) AS bucket
+         |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+         |),
+         |rk AS (SELECT band, bucket, doc_id,
+         |         row_number() OVER (PARTITION BY band, bucket
+         |                            ORDER BY doc_id % 2, doc_id) AS rn
+         |       FROM bnd),
+         |kept AS (SELECT band, bucket, doc_id FROM rk WHERE rn <= 16),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |         FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket
+         |         WHERE l.doc_id < r.doc_id),
+         |ag AS (SELECT c.a, c.b,
+         |         CAST(count(*) FILTER (WHERE s1.minhash = s2.minhash) AS DOUBLE) / 16 AS agree
+         |       FROM cand c
+         |       JOIN sig s1 ON s1.doc_id = c.a
+         |       JOIN sig s2 ON s2.doc_id = c.b AND s2.seed = s1.seed
+         |       GROUP BY c.a, c.b)
+         |SELECT a, b, round(agree, 6) AS sig_agreement
+         |FROM ag WHERE agree >= 0.7""".stripMargin,
     // first-seen-batch replay: the even-id batch arrives first, so a hash
     // with any even-id doc keeps its even minimum; otherwise the odd min
     "s_dedup_stream" ->

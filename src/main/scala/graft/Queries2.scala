@@ -193,6 +193,40 @@ object Queries2 {
       val srcName = g.nodes.agg(min(col("vid"))).head().getLong(0).toString
       Components.inComponentOf(g, srcName).select(col("vid").as("id"))
     }),
+    // north-rule resume, driver-visible (serialise / incremental cache):
+    // PageRank(12 supersteps, df engine) through the Icebergish catalog
+    // context; every snapshot manifest past superstep 5 is crash-dropped
+    // (and a half-written data dir left behind — it must stay invisible),
+    // then a FRESH context on the same catalog resumes: it must restart
+    // at 5, recompute ONLY 6..12, and land on the same scores the
+    // oracle's straight 12-step power iteration computes
+    "g_pagerank_resume" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val g = graph(s, d)
+      // /tmp is a slow spinning disk on this host (CLAUDE.md): the tiny
+      // per-superstep snapshots go to tmpfs like the shuffle dirs
+      val root = Files.createTempDirectory(Paths.get("/dev/shm"), "graft-resume").toString
+      val cat = new graft.ckpt.Catalog(root)
+      val cfg = PageRank.Config(iterCount = 12, tol = 0.0, mode = "df")
+      try {
+        PageRank.run(g, cfg, new graft.ckpt.CatalogRunContext(cat, "r", s))
+        for (step <- 6L to 12L)
+          Files.delete(Paths.get(root, "state/r/meta", s"manifest-$step.json"))
+        Files.createDirectories(Paths.get(root, "state/r/snap-99"))
+        val ctx2 = new graft.ckpt.CatalogRunContext(cat, "r", s)
+        val out = PageRank.run(g, cfg, ctx2)
+        require(ctx2.resumedFromStep == 5L,
+          s"expected resume at superstep 5, got ${ctx2.resumedFromStep}")
+        require(ctx2.stats.forall(_.step > 5), "resume recomputed pre-crash supersteps")
+        // materialise before the snapshots are deleted out from under it
+        out.select(col("vid").as("id"), round(col("score"), 9).as("score"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(Paths.get(root)).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+      }
+    }),
     "g_degree_stats" -> ((s, d) =>
       Metrics.degreeStats(graph(s, d)).select(
         col("max_degree"), col("min_degree"), round(col("avg_degree"), 6).as("avg_degree"),
@@ -1222,6 +1256,9 @@ object Queries2 {
          |  UNION ALL SELECT vid FROM r WHERE rank <= 5) t""".stripMargin,
     // window view degrees: same degree SQL as g_degrees over the
     // [lo + span/4, lo + span/2) event slice (span = maxTs + 1 - minTs)
+    // the resumed run must equal the straight power iteration at 12 steps
+    "g_pagerank_resume" -> Queries.pagerankOracle(
+      "SELECT id, round(score, 9) AS score FROM pr WHERE iter = 12"),
     // expanding(step): view k covers ts < lo + (k+1)·step, k while
     // lo + k·step < hi (hi = max+1) — same integer arithmetic as
     // LinkGraph.timeBounds/expanding

@@ -26,6 +26,30 @@ object Queries2 {
     Queries.crawlGraphCache.getOrElseUpdate(s,
       LinkGraph.fromPages(graft.io.Corpus.tiny(s).toDF()).cache())
 
+  /** Shared driver-side harness for the streaming dedup oracles: replay two
+    * deterministic micro-batches through a streaming operator via
+    * MemoryStream + a memory sink, and return the materialised sink table.
+    * The driver collect here is the TEST FEED, not the operator — state is
+    * executor-partitioned inside `op`. localCheckpoint(true) before stop()
+    * so the result outlives the query. */
+  private def twoBatchReplay[T](
+      s: SparkSession, b1: Seq[T], b2: Seq[T], inCols: Seq[String],
+      op: DataFrame => DataFrame, sink: String)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[T]
+    val q = op(input.toDF().toDF(inCols: _*))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      s.table(sink).localCheckpoint(true)
+    } finally q.stop()
+  }
+
   /** LSH candidate pairs memoized per (session, sfDir): d_lsh_candidates
     * and d_minhash_jaccard share one signature + bucket computation. */
   private val lshCandCache =
@@ -223,8 +247,10 @@ object Queries2 {
           .localCheckpoint(true)
       } finally {
         import scala.jdk.CollectionConverters._
-        Files.walk(Paths.get(root)).iterator().asScala.toSeq
+        val walk = Files.walk(Paths.get(root)) // must close: holds dir handles
+        try walk.iterator().asScala.toSeq
           .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
       }
     }),
     "g_degree_stats" -> ((s, d) =>
@@ -732,27 +758,16 @@ object Queries2 {
     // signature agreement >= 0.7, DISTINCT across shared buckets. The
     // oracle replays exactly that rank rule over the SQL minhash replay.
     "s_neardup_stream" -> ((s, d) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import org.apache.spark.sql.streaming.OutputMode
-      implicit val sqlCtx = s.sqlContext
       import s.implicits._
       val docs = tbl(s, d, "documents")
         .select(col("doc_id").cast("long").as("id"), col("text"))
       val b1 = docs.filter(col("id") % 2 === 0).as[(Long, String)].collect()
       val b2 = docs.filter(col("id") % 2 =!= 0).as[(Long, String)].collect()
-      val input = MemoryStream[(Long, String)]
-      val out = StreamIngest.nearDupStream(
-        input.toDF().toDF("doc_id", "text"))
-      val q = out.writeStream.format("memory").queryName("s_neardup_stream_sink")
-        .outputMode(OutputMode.Append()).start()
-      try {
-        input.addData(b1.toSeq: _*); q.processAllAvailable()
-        input.addData(b2.toSeq: _*); q.processAllAvailable()
-        val rows = s.table("s_neardup_stream_sink").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).distinct.toSeq
-        s.createDataset(rows).toDF("a", "b", "sig_agreement")
-          .select(col("a"), col("b"), round(col("sig_agreement"), 6).as("sig_agreement"))
-      } finally q.stop()
+      twoBatchReplay[(Long, String)](s, b1.toSeq, b2.toSeq,
+        Seq("doc_id", "text"), StreamIngest.nearDupStream(_),
+        "s_neardup_stream_sink")
+        .distinct() // pairs re-emitted from shared band buckets
+        .select(col("a"), col("b"), round(col("sig_agreement"), 6).as("sig_agreement"))
     }),
     // streaming exact dedup driver-visible: the documents table replayed
     // as two deterministic micro-batches (even doc_ids, then odd) through
@@ -762,27 +777,15 @@ object Queries2 {
     // batch-2 min. Driver collect is the TEST HARNESS feeding
     // MemoryStream, not the operator (state is executor-partitioned).
     "s_dedup_stream" -> ((s, d) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import org.apache.spark.sql.streaming.OutputMode
-      implicit val sqlCtx = s.sqlContext
       import s.implicits._
       val docs = tbl(s, d, "documents").filter(col("text").isNotNull)
         .select(md5(col("text").cast("binary")).as("h"),
           col("doc_id").cast("long").as("id"))
       val b1 = docs.filter(col("id") % 2 === 0).as[(String, Long)].collect()
       val b2 = docs.filter(col("id") % 2 =!= 0).as[(String, Long)].collect()
-      val input = MemoryStream[(String, Long)]
-      val out = StreamIngest.dedupStream(
-        input.toDF().toDF("content_hash", "doc_id"))
-      val q = out.writeStream.format("memory").queryName("s_dedup_stream_sink")
-        .outputMode(OutputMode.Append()).start()
-      try {
-        input.addData(b1.toSeq: _*); q.processAllAvailable()
-        input.addData(b2.toSeq: _*); q.processAllAvailable()
-        val rows = s.table("s_dedup_stream_sink").collect()
-          .map(r => (r.getString(0), r.getLong(1))).toSeq
-        s.createDataset(rows).toDF("content_hash", "doc_id")
-      } finally q.stop()
+      twoBatchReplay[(String, Long)](s, b1.toSeq, b2.toSeq,
+        Seq("content_hash", "doc_id"), StreamIngest.dedupStream(_),
+        "s_dedup_stream_sink")
     }),
     "m_media_features" -> ((s, d) => { // HeaderCodec: real header parse for the
       // crafted rows (ids 1000+), deterministic md5 stub fallback for the

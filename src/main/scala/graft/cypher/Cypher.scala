@@ -1225,8 +1225,11 @@ object Cypher {
       // not a 100-TB hot path.
       case PctFn("percentiledisc", a, p) =>
         val c = exprCol(a)
-        element_at(array_sort(collect_list(c)),
-          greatest(ceil(lit(p) * count(c)), lit(1L)).cast("int"))
+        // empty/all-null group => NULL (openCypher), not element_at(.., 1)
+        // on an empty array, which throws under Spark 4's ANSI default
+        when(count(c) > 0,
+          element_at(array_sort(collect_list(c)),
+            greatest(ceil(lit(p) * count(c)), lit(1L)).cast("int")))
       case other => throw new IllegalArgumentException(s"unsupported aggregate $other")
     }
     def itemName(e: Expr, alias: Option[String], i: Int): String = alias.getOrElse(e match {

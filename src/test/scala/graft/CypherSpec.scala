@@ -1038,6 +1038,14 @@ class CypherSpec extends AnyFunSuite {
     assert(mm.getDouble(0) == 1.0 && mm.getDouble(1) == 6.0)
   }
 
+  test("percentileDisc: all-null group yields NULL, not an ANSI element_at error") {
+    // CASE yields null for every edge → collect_list is empty; openCypher
+    // returns null (previously element_at(.., 1) threw under ANSI)
+    val r = Cypher.run(g, "MATCH ()-[e]->() RETURN " +
+      "percentileDisc(CASE WHEN e.weight > 100 THEN e.weight END, 0.5) AS p").head()
+    assert(r.isNullAt(0))
+  }
+
   test("percentile aggregate errors: arity, range, DISTINCT, scalar position") {
     intercept[IllegalArgumentException] {
       Cypher.run(g, "MATCH ()-[e]->() RETURN percentileCont(e.weight) AS p")

@@ -248,9 +248,8 @@ object Queries2 {
       } finally {
         import scala.jdk.CollectionConverters._
         val walk = Files.walk(Paths.get(root)) // must close: holds dir handles
-        try walk.iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
-        finally walk.close()
+        val paths = try walk.iterator().asScala.toSeq finally walk.close()
+        paths.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
       }
     }),
     "g_degree_stats" -> ((s, d) =>
@@ -986,7 +985,7 @@ object Queries2 {
          |             row_number() OVER (PARTITION BY bucket ORDER BY v) AS rn,
          |             count(*) OVER (PARTITION BY bucket) AS n FROM vals),
          |disc AS (SELECT bucket,
-         |           max(CASE WHEN rn = greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)
+         |           max(CASE WHEN rn = greatest(CAST(ceil(round(0.25 * n, 9)) AS BIGINT), 1)
          |               THEN v END) AS p25
          |         FROM ranked GROUP BY bucket),
          |agg AS (SELECT bucket, round(quantile_cont(v, 0.5), 6) AS p50,

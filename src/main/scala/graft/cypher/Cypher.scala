@@ -1227,9 +1227,12 @@ object Cypher {
         val c = exprCol(a)
         // empty/all-null group => NULL (openCypher), not element_at(.., 1)
         // on an empty array, which throws under Spark 4's ANSI default
+        // rank = ceil(p·n) computed with a 1e-9 rounding guard: IEEE
+        // double p·n can land just above the exact integer product
+        // (0.07 * 100 = 7.000000000000001 → ceil 8, off by one rank)
         when(count(c) > 0,
           element_at(array_sort(collect_list(c)),
-            greatest(ceil(lit(p) * count(c)), lit(1L)).cast("int")))
+            greatest(ceil(round(lit(p) * count(c), 9)), lit(1L)).cast("int")))
       case other => throw new IllegalArgumentException(s"unsupported aggregate $other")
     }
     def itemName(e: Expr, alias: Option[String], i: Int): String = alias.getOrElse(e match {

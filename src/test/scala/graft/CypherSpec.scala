@@ -1038,6 +1038,14 @@ class CypherSpec extends AnyFunSuite {
     assert(mm.getDouble(0) == 1.0 && mm.getDouble(1) == 6.0)
   }
 
+  test("percentileDisc: IEEE p*n just above the integer must not inflate the rank") {
+    // 0.07 * 100 = 7.000000000000001 in double; naked ceil gives rank 8.
+    // nearest-rank over 1..100 at p=0.07 is the 7th value = 7.
+    val r = Cypher.run(g,
+      "UNWIND range(1, 100) AS x RETURN percentileDisc(x, 0.07) AS p").head()
+    assert(r.getAs[Number](0).longValue == 7L)
+  }
+
   test("percentileDisc: all-null group yields NULL, not an ANSI element_at error") {
     // CASE yields null for every edge → collect_list is empty; openCypher
     // returns null (previously element_at(.., 1) threw under ANSI)

@@ -31,7 +31,12 @@ object Queries2 {
     * MemoryStream + a memory sink, and return the materialised sink table.
     * The driver collect here is the TEST FEED, not the operator — state is
     * executor-partitioned inside `op`. localCheckpoint(true) before stop()
-    * so the result outlives the query. */
+    * so the result outlives the query.
+    * MemoryStream hands each addData batch to the query as ONE partition —
+    * a real source (Kafka/file) is partition-parallel — so the feed is
+    * repartitioned before the operator; without it every row-local
+    * computation in `op` (e.g. the MinHash signatures) runs serially in a
+    * single task (measured 22 s/batch at sf0.1, 1.5 s after). */
   private def twoBatchReplay[T](
       s: SparkSession, b1: Seq[T], b2: Seq[T], inCols: Seq[String],
       op: DataFrame => DataFrame, sink: String)(
@@ -40,14 +45,29 @@ object Queries2 {
     import org.apache.spark.sql.streaming.OutputMode
     implicit val sqlCtx = s.sqlContext
     val input = MemoryStream[T]
-    val q = op(input.toDF().toDF(inCols: _*))
+    // state-store checkpoint on /dev/shm, not the default /tmp temp dir
+    // (/tmp is a slow disk on this host)
+    val ckpt = s"/dev/shm/graft-spark/stream-ckpt-$sink-${java.util.UUID.randomUUID}"
+    val q = op(input.toDF().toDF(inCols: _*)
+        .repartition(s.sparkContext.defaultParallelism))
       .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append()).start()
     try {
       input.addData(b1: _*); q.processAllAvailable()
       input.addData(b2: _*); q.processAllAvailable()
       s.table(sink).localCheckpoint(true)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(ckpt)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        val paths = try walk.iterator().asScala.toSeq finally walk.close()
+        paths.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+      }
+    }
   }
 
   /** LSH candidate pairs memoized per (session, sfDir): d_lsh_candidates

@@ -167,12 +167,18 @@ object StreamIngest {
       .select(col("id"), col("sig"),
         posexplode(Dedup.bandBucketArray(col("sig"), bands, nHashes)).as(Seq("band", "bucket")))
       .select(concat_ws("/", col("band"), col("bucket")).as("key"), col("id"), col("sig"))
-      .as[(String, Long, Seq[Long])]
+      .as[(String, Long, Array[Long])]
+    // State per bucket = (kept ids, their signatures flattened nHashes
+    // apiece) as two primitive Long arrays: the state store serializes /
+    // deserializes EVERY touched group each micro-batch, and a flat
+    // UnsafeArrayData round-trip is ~an order of magnitude cheaper than a
+    // nested Seq[(Long, Seq[Long])] encoder (measured 2x on the whole
+    // driver leg at sf0.1).
     banded.groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Long, Double)](
+      .flatMapGroupsWithState[(Array[Long], Array[Long]), (Long, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) { (_, rows, state) =>
-        var seen = state.getOption.getOrElse(Seq.empty)
-        if (seen.length >= bucketCap) Iterator.empty // saturated: don't buffer the group
+        val (ids0, sigs0) = state.getOption.getOrElse((Array.empty[Long], Array.empty[Long]))
+        if (ids0.length >= bucketCap) Iterator.empty // saturated: don't buffer the group
         else {
           // bounded selection — a hot key's micro-batch group may be huge,
           // so never materialize it: only the bucketCap smallest ids can
@@ -180,22 +186,32 @@ object StreamIngest {
           // bucket is saturating anyway). Ascending id replay keeps the
           // batch deterministic under shuffle.
           val pq = scala.collection.mutable.PriorityQueue
-            .empty[(Long, Seq[Long])](Ordering.by(_._1))
+            .empty[(Long, Array[Long])](Ordering.by(_._1))
           for ((_, id, sg) <- rows) {
             pq.enqueue((id, sg))
             if (pq.size > bucketCap) pq.dequeue()
           }
+          val ids = scala.collection.mutable.ArrayBuffer.from(ids0)
+          val sigs = scala.collection.mutable.ArrayBuffer.from(sigs0)
           val out = Seq.newBuilder[(Long, Long, Double)]
           for ((id, sg) <- pq.dequeueAll.reverse) {
-            if (seen.length < bucketCap && !seen.exists(_._1 == id)) {
-              for ((oid, osig) <- seen) {
-                val agree = sg.zip(osig).count { case (x, y) => x == y }.toDouble / nHashes
-                if (agree >= minAgree) out += ((math.min(id, oid), math.max(id, oid), agree))
+            if (ids.length < bucketCap && !ids.contains(id)) {
+              var j = 0
+              while (j < ids.length) {
+                var eq = 0
+                var h = 0
+                while (h < nHashes) {
+                  if (sigs(j * nHashes + h) == sg(h)) eq += 1; h += 1
+                }
+                val agree = eq.toDouble / nHashes
+                if (agree >= minAgree)
+                  out += ((math.min(id, ids(j)), math.max(id, ids(j)), agree))
+                j += 1
               }
-              seen = seen :+ ((id, sg))
+              ids += id; sigs ++= sg
             }
           }
-          state.update(seen)
+          state.update((ids.toArray, sigs.toArray))
           out.result().iterator
         }
       }

@@ -393,6 +393,15 @@ object Queries2 {
         "MATCH (a)-[e]->(b) WHERE e.ts >= $t0 AND a.id % 13 IN $mods " +
           "RETURN a.id AS id, count(*) AS n, min(e.ts) AS first_ts",
         Map("t0" -> 1000L, "mods" -> Seq(0L, 3L, 7L)))),
+    // CALL procedures: pagerank through the Cypher text surface with a
+    // YIELD rename + WHERE — explicit iteration count = exactly 20
+    // supersteps (tol 0), oracled by the same power-iteration replay as
+    // g_pagerank
+    "cy_call_pagerank" -> ((s, d) =>
+      graft.cypher.Cypher.run(graph(s, d),
+        "CALL pagerank(20) YIELD vid AS id, score WHERE id % 2 = 0 " +
+          "RETURN id, score")
+        .select(col("id"), round(col("score"), 9).as("score"))),
     // aggregate DISTINCT (openCypher expression-DISTINCT): distinct
     // out-neighbour count beside the raw event count per source
     "cy_distinct" -> ((s, d) =>
@@ -1019,6 +1028,11 @@ object Queries2 {
          |  CAST(min(ts) AS BIGINT) AS first_ts
          |FROM ev WHERE ts >= 1000 AND src % 13 IN (0, 3, 7)
          |GROUP BY src""".stripMargin,
+    // CALL pagerank() YIELD vid AS id, score WHERE id % 2 = 0: the same
+    // 20-step power-iteration replay as g_pagerank, filtered on the
+    // yielded (renamed) id
+    "cy_call_pagerank" -> Queries.pagerankOracle(
+      "SELECT id, round(score, 9) AS score FROM pr WHERE iter = 20 AND id % 2 = 0"),
     "cy_distinct" ->
       s"""WITH $sqlGraph
          |SELECT src AS id, CAST(count(DISTINCT dst) AS BIGINT) AS nbrs,

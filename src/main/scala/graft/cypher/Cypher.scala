@@ -201,6 +201,13 @@ object Cypher {
                       limit: Option[Long], where: Option[Expr],
                       star: Boolean = false) extends Part
   case class UnwindPart(list: Expr, alias: String) extends Part
+  /** `CALL proc(args) [YIELD cols] [WHERE pred]` — procedure invocation
+    * against the [[Procedures]] registry (an extension beyond the
+    * reference grammar). `yields` are (column, alias) pairs; empty with
+    * `yieldAll` yields every catalogue column. */
+  case class CallPart(proc: String, args: Seq[Expr],
+                      yields: Seq[(String, Option[String])], yieldAll: Boolean,
+                      where: Option[Expr]) extends Part
 
   case class Query(parts: Seq[Part], distinct: Boolean,
                    returnAll: Boolean, items: Seq[RetItem],
@@ -682,7 +689,17 @@ object Cypher {
     def query(): Query = {
       val parts = Seq.newBuilder[Part]
       var sawReturn = false
+      var lastWasCall = false // standalone `CALL proc()` needs no RETURN
       while (!sawReturn) {
+        val atUnion = peek.exists {
+          case TIdent(s) => s.equalsIgnoreCase("UNION"); case _ => false
+        }
+        if ((peek.isEmpty || atUnion) && lastWasCall)
+          return Query(parts.result(), distinct = false, returnAll = true,
+            Seq.empty, Seq.empty, None, None)
+        lastWasCall = peek.exists {
+          case TIdent(s) => s.equalsIgnoreCase("CALL"); case _ => false
+        }
         val optional = kw("OPTIONAL")
         if (optional) expectKw("MATCH")
         if (optional || kw("MATCH")) {
@@ -695,6 +712,31 @@ object Cypher {
           val list = addExpr()
           expectKw("AS")
           parts += UnwindPart(list, ident())
+        } else if (kw("CALL")) {
+          // CALL name(args) [YIELD * | col [AS alias], ...] [WHERE pred]
+          val name = ident()
+          expectPunct("(")
+          val args = Seq.newBuilder[Expr]
+          if (!punct(")")) {
+            args += addExpr()
+            while (punct(",")) args += addExpr()
+            expectPunct(")")
+          }
+          var yieldAll = false
+          val yields = Seq.newBuilder[(String, Option[String])]
+          if (kw("YIELD")) {
+            if (punct("*")) yieldAll = true
+            else {
+              def item(): (String, Option[String]) = {
+                val c = ident()
+                (c, if (kw("AS")) Some(ident()) else None)
+              }
+              yields += item()
+              while (punct(",")) yields += item()
+            }
+          } else yieldAll = true // bare CALL yields every catalogue column
+          val where = if (kw("WHERE")) Some(expr()) else None
+          parts += CallPart(name, args.result(), yields.result(), yieldAll, where)
         } else if (kw("WITH")) {
           // grammar order (openCypher / cypher.pest:32-55):
           // WITH [DISTINCT] *|items [, items] [ORDER BY] [SKIP] [LIMIT] [WHERE]
@@ -1548,6 +1590,44 @@ object Cypher {
       valueVars(part.alias) = part.alias
     }
 
+    /** CALL proc(args) YIELD ...: the procedure runs on the query's graph
+      * view through the [[Procedures]] registry and its yielded columns
+      * become plain value bindings — so RETURN/WHERE/ORDER BY and further
+      * WITH/UNWIND/MATCH parts compose over them like any other scope.
+      * Restricted to the FIRST clause: openCypher's per-row mid-query CALL
+      * would re-run a whole-graph algorithm per driving row, which is
+      * never what an analytics user means — carry the yields through WITH
+      * instead. Arguments are literals or $-parameters (resolved here at
+      * plan time, like every other parameter). */
+    def planCall(part: CallPart): Unit = {
+      require(acc == null,
+        "CALL is supported as the first clause only — YIELD its columns and chain " +
+          "WITH/MATCH parts after it")
+      def argValue(e: Expr): Any = e match {
+        case Lit(v) => v
+        case Neg(Lit(v: Long)) => -v
+        case Neg(Lit(v: Double)) => -v
+        case Param(n) => params.getOrElse(n,
+          throw new IllegalArgumentException(s"missing query parameter $$$n"))
+        case other => throw new IllegalArgumentException(
+          s"CALL ${part.proc}: arguments must be literals or parameters, got $other")
+      }
+      val df = Procedures.invoke(g, part.proc, part.args.map(argValue))
+      val avail = df.columns.toSeq
+      val items: Seq[(String, String)] = // (source column, bound name)
+        if (part.yieldAll) avail.map(c => c -> c)
+        else part.yields.map { case (c, al) =>
+          require(avail.contains(c),
+            s"CALL ${part.proc} yields (${avail.mkString(", ")}); no column $c")
+          c -> al.getOrElse(c)
+        }
+      val dup = items.groupBy(_._2).collect { case (n, xs) if xs.size > 1 => n }
+      require(dup.isEmpty, s"YIELD binds ${dup.mkString(", ")} more than once")
+      acc = df.select(items.map { case (c, n) => col(c).as(n) }: _*)
+      items.foreach { case (_, n) => valueVars(n) = n }
+      part.where.foreach(w => acc = acc.filter(exprCol(w)))
+    }
+
     /** OPTIONAL MATCH: the pattern is planned as its own sub-frame (own
       * bindings, labels/property-map/WHERE constraints applied to the
       * OPTIONAL side — openCypher's pre-join filter semantics), then
@@ -1647,8 +1727,9 @@ object Cypher {
       case p: MatchPart => planMatch(p)
       case p: WithPart => planWith(p)
       case p: UnwindPart => planUnwind(p)
+      case p: CallPart => planCall(p)
     }
-    require(acc != null, "query needs at least one MATCH or UNWIND part")
+    require(acc != null, "query needs at least one MATCH, UNWIND or CALL part")
 
     val itemNames = names(q.items)
     var out: DataFrame =

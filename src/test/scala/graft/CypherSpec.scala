@@ -1038,6 +1038,102 @@ class CypherSpec extends AnyFunSuite {
     assert(mm.getDouble(0) == 1.0 && mm.getDouble(1) == 6.0)
   }
 
+  // ---- CALL procedures (extension beyond the reference grammar) ----
+
+  test("CALL degrees() YIELD: distinct-neighbour degrees as value bindings") {
+    val rows = Cypher.run(g,
+      "CALL degrees() YIELD vid, degree RETURN vid, degree ORDER BY vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 3L), (1L, 2L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("CALL pagerank(iters): exact parity with the library call") {
+    // explicit iteration count = exactly 5 supersteps (tol 0)
+    val lib = graft.algo.PageRank.run(g, graft.algo.PageRank.Config(iterCount = 5, tol = 0.0))
+      .select("vid", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val rows = Cypher.run(g, "CALL pagerank(5) YIELD vid, score RETURN vid, score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rows == lib)
+  }
+
+  test("CALL wcc(): one component, first-ingested representative") {
+    val rows = Cypher.run(g,
+      "CALL wcc() YIELD name, component RETURN DISTINCT component")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("zero"))
+  }
+
+  test("CALL sssp(source): BFS hop distances (undirected, reference semantics)") {
+    val rows = Cypher.run(g,
+      "CALL sssp('zero') YIELD name, dist RETURN name, dist ORDER BY dist, name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 3 -> 0 makes three one undirected hop from zero
+    assert(rows == Seq(("zero", 0L), ("one", 1L), ("three", 1L), ("two", 1L)))
+  }
+
+  test("CALL triangles() + aggregate over yields") {
+    val per = Cypher.run(g, "CALL triangles() YIELD vid, triangles RETURN vid, triangles")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(per == Map(0L -> 2L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
+    assert(Cypher.run(g, "CALL triangles() YIELD triangles RETURN sum(triangles) AS t")
+      .head().getLong(0) == 6L)
+  }
+
+  test("YIELD rename + WHERE filter the yielded scope") {
+    val rows = Cypher.run(g,
+      "CALL degrees() YIELD vid AS id, degree WHERE degree > 2 RETURN id ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(0L, 2L))
+  }
+
+  test("standalone CALL (no RETURN) yields every catalogue column") {
+    val df = Cypher.run(g, "CALL degrees()")
+    assert(df.columns.toSeq == Seq("vid", "degree", "in_degree", "out_degree"))
+    assert(df.count() == 4)
+  }
+
+  test("CALL runs on the query's graph view (windowed)") {
+    // window [1,4): edges ts 1,2,3 remain; node 3 has no in-window activity
+    val rows = Cypher.run(g.window(1L, 4L),
+      "CALL degrees() YIELD vid, degree RETURN vid, degree ORDER BY vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 2L), (1L, 2L), (2L, 2L)))
+  }
+
+  test("CALL chains into WITH and UNWIND parts") {
+    val n = Cypher.run(g,
+      "CALL degrees() YIELD vid, degree WITH vid, degree WHERE degree = 3 " +
+        "RETURN count(*) AS n").head().getLong(0)
+    assert(n == 2L)
+  }
+
+  test("CALL errors: unknown procedure, bad args, non-first clause, bad yield") {
+    val e1 = intercept[IllegalArgumentException] {
+      Cypher.run(g, "CALL nope() YIELD x RETURN x")
+    }
+    assert(e1.getMessage.contains("pagerank(")) // catalogue listed
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "CALL pagerank('x') YIELD score RETURN score")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "MATCH (n) CALL degrees() YIELD degree RETURN degree")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.run(g, "CALL degrees() YIELD nope RETURN nope")
+    }
+    intercept[IllegalArgumentException] { // duplicate bound name
+      Cypher.run(g, "CALL degrees() YIELD vid AS x, degree AS x RETURN x")
+    }
+  }
+
+  test("Procedures.catalogue stays in sync with invoke()") {
+    val needsArgs = Map("sssp" -> Seq[Any]("zero"))
+    graft.cypher.Procedures.catalogue.foreach { case (name, (cols, _)) =>
+      val df = graft.cypher.Procedures.invoke(g, name, needsArgs.getOrElse(name, Seq.empty))
+      assert(df.columns.toSeq == cols, s"procedure $name")
+    }
+  }
+
   test("percentileDisc: IEEE p*n just above the integer must not inflate the rank") {
     // 0.07 * 100 = 7.000000000000001 in double; naked ceil gives rank 8.
     // nearest-rank over 1..100 at p=0.07 is the 7th value = 7.

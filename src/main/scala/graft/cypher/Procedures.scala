@@ -35,7 +35,17 @@ object Procedures {
     "sssp" -> (Seq("vid", "name", "dist"),
       "sssp(sourceName[, cutoff]) — unweighted shortest-path distances"),
     "degrees" -> (Seq("vid", "degree", "in_degree", "out_degree"),
-      "degrees() — distinct-neighbour degree family"))
+      "degrees() — distinct-neighbour degree family"),
+    "hits" -> (Seq("vid", "name", "hub", "auth"),
+      "hits([iterations]) — HITS hub/authority scores"),
+    "kcore" -> (Seq("vid"),
+      "kcore(k) — nodes of the k-core (peeling fixpoint)"),
+    "scc" -> (Seq("vid", "name", "component_vid", "component"),
+      "scc() — strongly connected components (min-vid canonical labels)"),
+    "degree_centrality" -> (Seq("vid", "value"),
+      "degree_centrality() — degree / max degree"),
+    "local_clustering" -> (Seq("vid", "value"),
+      "local_clustering() — per-node clustering coefficient"))
 
   private def argErr(proc: String, want: String): Nothing =
     throw new IllegalArgumentException(
@@ -103,6 +113,31 @@ object Procedures {
           .join(g.inDegrees.withColumnRenamed("degree", "in_degree"), Seq("vid"))
           .join(g.degrees, Seq("vid"))
           .select(col("vid"), col("degree"), col("in_degree"), col("out_degree"))
+      case "hits" =>
+        val iters = args match {
+          case Seq() => 20L
+          case Seq(n) => longArg(name, "iterations BIGINT", n)
+          case _ => argErr(name, "iterations BIGINT")
+        }
+        require(iters > 0, "CALL hits: iterations must be positive")
+        graft.algo.Hits.run(g, iters.toInt)
+          .select(col("vid"), col("name"), col("hub"), col("auth"))
+      case "kcore" =>
+        val k = args match {
+          case Seq(n) => longArg(name, "k BIGINT", n)
+          case _ => argErr(name, "k BIGINT")
+        }
+        graft.algo.KCore.coreSet(g, k.toInt).select(col("vid"))
+      case "scc" =>
+        if (args.nonEmpty) argErr(name, "no arguments")
+        graft.algo.Components.scc(g)
+          .select(col("vid"), col("name"), col("component_vid"), col("component"))
+      case "degree_centrality" =>
+        if (args.nonEmpty) argErr(name, "no arguments")
+        graft.algo.Metrics.degreeCentrality(g).select(col("vid"), col("value"))
+      case "local_clustering" =>
+        if (args.nonEmpty) argErr(name, "no arguments")
+        graft.algo.Metrics.localClusteringCoefficient(g).select(col("vid"), col("value"))
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure $other; available: " +

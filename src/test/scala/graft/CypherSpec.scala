@@ -1126,8 +1126,23 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL kcore(k) / scc(): set + component procedures") {
+    // 2-core: nodes 0,2 are in two triangles' shared edge... the peel on
+    // this graph keeps all of {0,1,2,3} (each has >= 2 distinct
+    // neighbours); kcore(3) drops 1 and 3, then 0-2 alone cannot hold 3
+    assert(Cypher.run(g, "CALL kcore(2) YIELD vid RETURN count(*) AS n")
+      .head().getLong(0) == 4L)
+    assert(Cypher.run(g, "CALL kcore(3) YIELD vid RETURN count(*) AS n")
+      .head().getLong(0) == 0L)
+    // one SCC: 0->1->2->0 and 0->2->3->0 close every node into a cycle
+    val comps = Cypher.run(g,
+      "CALL scc() YIELD vid, component_vid RETURN vid, component_vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("Procedures.catalogue stays in sync with invoke()") {
-    val needsArgs = Map("sssp" -> Seq[Any]("zero"))
+    val needsArgs = Map("sssp" -> Seq[Any]("zero"), "kcore" -> Seq[Any](2L))
     graft.cypher.Procedures.catalogue.foreach { case (name, (cols, _)) =>
       val df = graft.cypher.Procedures.invoke(g, name, needsArgs.getOrElse(name, Seq.empty))
       assert(df.columns.toSeq == cols, s"procedure $name")

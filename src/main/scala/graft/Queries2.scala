@@ -1520,12 +1520,19 @@ object Queries2 {
          |SELECT id, label FROM lpa WHERE ph = 16""".stripMargin,
     // Temporal bipartite projection: ordered event pairs at even-vid pivots
     // within delta=50, counted per projected (src, dst).
+    // NOTE the src <> dst guards: the operator DROPS self-loop events
+    // (BipartiteProjection Scaladoc — a true bipartite graph cannot have
+    // them; kept, each would enter visits twice and pair with every other
+    // event at its pivot). The orders graph DOES contain self-loop events
+    // (61 at sf0.1), and one lands on an even pivot with a partner event
+    // inside delta only at sf0.1 — an unguarded oracle passes sf0.01 and
+    // diverges there.
     "g_bipartite_projection" ->
       s"""WITH $sqlGraph,
          |visits AS (
-         |  SELECT dst AS pvt, src AS nbr, ts, seq FROM ev
+         |  SELECT dst AS pvt, src AS nbr, ts, seq FROM ev WHERE src <> dst
          |  UNION ALL
-         |  SELECT src AS pvt, dst AS nbr, ts, seq FROM ev
+         |  SELECT src AS pvt, dst AS nbr, ts, seq FROM ev WHERE src <> dst
          |),
          |pv AS (SELECT * FROM visits WHERE pvt % 2 = 0)
          |SELECT a.nbr AS src, b.nbr AS dst, CAST(count(*) AS BIGINT) AS n_events

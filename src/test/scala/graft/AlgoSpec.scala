@@ -394,6 +394,18 @@ class AlgoSpec extends AnyFunSuite {
     assert(!d3.exists { case (s, d, _) => Set(s, d) == Set("A", "C") })
   }
 
+  test("bipartite projection drops self-loop events (non-bipartite input)") {
+    // pivot "2" has a self-loop event between two proper visits: kept, it
+    // would pair with both and project phantom edges touching the pivot
+    val edges = Seq(("A", "2", 1L), ("2", "2", 2L), ("B", "2", 3L))
+    val g = LinkGraph.fromEdgeList(spark, edges)
+    val rows = BipartiteProjection.projectByNames(g, Seq("2"), 50L)
+      .join(g.nodes.select($"vid".as("src"), $"name".as("sname")), Seq("src"))
+      .join(g.nodes.select($"vid".as("dst"), $"name".as("dname")), Seq("dst"))
+      .select($"sname", $"dname").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("A", "B")))
+  }
+
   test("temporal rich club fixtures (temporal_rich_club_coefficient.rs:166-180)") {
     val edges = Seq(
       (1L,1L,2L),(1L,1L,3L),(1L,1L,4L),(1L,2L,3L),(1L,2L,4L),(1L,3L,4L),(1L,4L,5L),

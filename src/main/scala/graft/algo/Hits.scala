@@ -109,6 +109,7 @@ object Hits {
       ctx.record(StepStat("hits", step, 2 * m, 2 * m, math.max(dH, dA),
         (System.nanoTime() - t0) / 1e6))
     }
+    ctx.finish() // barrier: async snapshot commits durable before returning
     scatter.unpersist()
     state.join(g.nodes, Seq("vid")).select($"vid", $"name", $"hub", $"auth")
   }

@@ -132,6 +132,7 @@ object PageRank {
       ctx.record(StepStat("pagerank", step, edgesScattered, edgesScattered, delta,
         (System.nanoTime() - t0) / 1e6))
     }
+    ctx.finish() // barrier: all async snapshot commits durable before we return
     edges.unpersist()
     state.join(g.nodes, Seq("vid")).select($"vid", $"name", $"score")
   }

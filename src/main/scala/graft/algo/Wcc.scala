@@ -97,6 +97,7 @@ object Wcc {
       ctx.record(StepStat("wcc", step, pairCount, pairCount, changed.toDouble,
         (System.nanoTime() - t0) / 1e6))
     }
+    ctx.finish() // barrier: async snapshot commits durable before returning
     pairs.unpersist()
     state
       .join(g.nodes, Seq("vid"))

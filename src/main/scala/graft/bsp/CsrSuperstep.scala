@@ -77,6 +77,7 @@ object CsrSuperstep {
       ctx.record(StepStat("pagerank-csr", step, csr.edgeCount, csr.edgeCount, normed,
         (System.nanoTime() - t0) / 1e6))
     }
+    ctx.finish()
     score
   }
 
@@ -152,6 +153,7 @@ object CsrSuperstep {
       ctx.record(StepStat("hits-csr", step, 2 * fwd.edgeCount, 2 * fwd.edgeCount,
         math.max(dH, dA), (System.nanoTime() - t0) / 1e6))
     }
+    ctx.finish()
     (hub, auth)
   }
 
@@ -228,6 +230,7 @@ object CsrSuperstep {
       done = changedTotal == 0
       sweep += 1
     }
+    ctx.finish()
     labels
   }
 
@@ -280,6 +283,7 @@ object CsrSuperstep {
         changed.toDouble, (System.nanoTime() - t0) / 1e6))
       step += 1
     }
+    ctx.finish()
     labels
   }
 }

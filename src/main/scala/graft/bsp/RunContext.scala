@@ -31,6 +31,11 @@ trait RunContext {
   def checkpoint(state: DataFrame, step: Int): DataFrame
   def record(stat: StepStat): Unit
   def stats: Seq[StepStat]
+  /** Barrier at loop end: durable implementations may overlap snapshot
+    * writes with the next superstep's compute; algorithms call this once
+    * after the last superstep so every commit is on disk before the run's
+    * result is acted on. In-memory contexts: no-op. */
+  def finish(): Unit = ()
 }
 
 /** In-memory run context: localCheckpoint (executor-memory snapshot,

@@ -36,16 +36,55 @@ final class Catalog(rootDir: String) extends Serializable {
     new HPath(rootDir, s"$table/snap-$id")
 
   /** Write `df` as snapshot `id` of `table`; commit is the atomic manifest
-    * rename, performed only after the parquet write succeeded. */
-  def writeSnapshot(df: DataFrame, table: String, id: Long): Unit = {
+    * rename, performed only after the parquet write succeeded. Returns the
+    * per-data-file row counts (read driver-side from the parquet footers —
+    * no Spark job), which the manifest also records: Iceberg manifests
+    * carry exactly this per-file lineage, and the caller's per-partition
+    * metrics derive from it for free. */
+  def writeSnapshot(df: DataFrame, table: String, id: Long): Seq[(String, Long)] = {
     val dir = dataDir(table, id)
     df.write.mode("overwrite").parquet(dir.toString)
     val f = fs()
+    val conf = f.getConf
+    // footer opens are ~5-10 ms each through ChecksumFileSystem — read them
+    // in parallel or a wide snapshot pays 32×latency serially per superstep
+    import scala.collection.parallel.CollectionConverters._
+    val fileRows = f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      .par.map { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        val n = try r.getRecordCount finally r.close()
+        (p.getName, n)
+      }.seq
+    val filesJson = fileRows
+      .map { case (name, n) => s"""{"file":"$name","rows":$n}""" }.mkString(",")
+    commitManifest(table, id,
+      s"""{"snapshot":$id,"data":"${dir.getName}","files":[$filesJson],"committed_ms":${System.currentTimeMillis()}}""")
+    fileRows
+  }
+
+  /** Append driver-side rows to a log-style table as a JSON-lines data file
+    * under the SAME commit contract (data file first, manifest rename
+    * last). For small per-superstep metric batches this costs a driver file
+    * write instead of a Spark job — the difference between metrics riding
+    * along for free and metrics doubling the superstep's fixed cost. */
+  def appendJsonRows(table: String, lines: Seq[String]): Unit = {
+    val id = latestSnapshot(table).getOrElse(-1L) + 1L
+    val dir = dataDir(table, id)
+    val f = fs()
+    f.mkdirs(dir)
+    val data = new HPath(dir, s"rows-$id.jsonl")
+    val out = f.create(data, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    commitManifest(table, id,
+      s"""{"snapshot":$id,"data":"${dir.getName}","files":[{"file":"${data.getName}","rows":${lines.size}}],"committed_ms":${System.currentTimeMillis()}}""")
+  }
+
+  private def commitManifest(table: String, id: Long, manifest: String): Unit = {
+    val f = fs()
     f.mkdirs(meta(table))
-    val files = f.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).sorted.toSeq
-    val manifest =
-      s"""{"snapshot":$id,"data":"${dir.getName}","files":[${files.map("\"" + _ + "\"").mkString(",")}],"committed_ms":${System.currentTimeMillis()}}"""
     val tmp = new HPath(meta(table), s".manifest-$id.tmp")
     val out = f.create(tmp, true)
     try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -79,5 +118,15 @@ final class Catalog(rootDir: String) extends Serializable {
     val ids = snapshots(table)
     if (ids.isEmpty) None
     else Some(ids.map(readSnapshot(spark, table, _)).reduce(_ unionByName _))
+  }
+
+  /** Read the union of all committed JSONL snapshots (appendJsonRows) with
+    * an explicit schema — one multi-path scan, not a per-snapshot union. */
+  def readAllJson(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    val ids = snapshots(table)
+    if (ids.isEmpty) None
+    else Some(spark.read.schema(schema)
+      .json(ids.map(dataDir(table, _).toString): _*))
   }
 }

@@ -263,6 +263,7 @@ object Dedup {
         ctx.record(graft.bsp.StepStat("dup_clusters", step, pairCount, pairCount,
           changed.toDouble, (System.nanoTime() - t0) / 1e6))
       }
+      ctx.finish() // barrier: async snapshot commits durable before returning
       pairs.unpersist()
       state.select(col("id"), col("cluster"), (col("id") === col("cluster")).as("keep"))
     }

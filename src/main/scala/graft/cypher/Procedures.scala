@@ -45,7 +45,13 @@ object Procedures {
     "degree_centrality" -> (Seq("vid", "value"),
       "degree_centrality() — degree / max degree"),
     "local_clustering" -> (Seq("vid", "value"),
-      "local_clustering() — per-node clustering coefficient"))
+      "local_clustering() — per-node clustering coefficient"),
+    "louvain" -> (Seq("vid", "name", "community"),
+      "louvain([seed]) — Louvain communities (seeded ChaCha12 order)"),
+    "betweenness" -> (Seq("vid", "name", "value"),
+      "betweenness([k]) — Brandes betweenness (optionally k sources), normalized"),
+    "temporal_motifs" -> (Seq("motif", "n"),
+      "temporal_motifs(deltaMillis) — Paranjape 40-slot temporal 3-node census"))
 
   private def argErr(proc: String, want: String): Nothing =
     throw new IllegalArgumentException(
@@ -138,6 +144,34 @@ object Procedures {
       case "local_clustering" =>
         if (args.nonEmpty) argErr(name, "no arguments")
         graft.algo.Metrics.localClusteringCoefficient(g).select(col("vid"), col("value"))
+      case "louvain" =>
+        val seed = args match {
+          case Seq() => Array.fill[Byte](32)(11)
+          case Seq(n) => Array.fill[Byte](32)(longArg(name, "seed BIGINT", n).toByte)
+          case _ => argErr(name, "seed BIGINT")
+        }
+        graft.algo.Louvain.run(g, seed = seed)
+          .select(col("vid"), col("name"), col("community"))
+      case "betweenness" =>
+        val k = args match {
+          case Seq() => None
+          case Seq(n) => Some(longArg(name, "k BIGINT", n).toInt)
+          case _ => argErr(name, "k BIGINT")
+        }
+        require(k.forall(_ > 0), "CALL betweenness: k must be positive")
+        graft.algo.Betweenness.run(g, k, normalized = true)
+          .select(col("vid"), col("name"), col("value"))
+      case "temporal_motifs" =>
+        val delta = args match {
+          case Seq(n) => longArg(name, "deltaMillis BIGINT", n)
+          case _ => argErr(name, "deltaMillis BIGINT")
+        }
+        require(delta > 0, "CALL temporal_motifs: deltaMillis must be positive")
+        val counts = graft.algo.TemporalMotifs.globalCounts(g, delta)
+        val spark = g.spark
+        import spark.implicits._
+        spark.createDataset(counts.toSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }).toDF("motif", "n")
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure $other; available: " +

@@ -1141,8 +1141,27 @@ class CypherSpec extends AnyFunSuite {
     assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("CALL louvain()/betweenness(k)/temporal_motifs(delta): parity with the library") {
+    val louv = graft.algo.Louvain.run(g).select("vid", "community")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val louvC = Cypher.run(g, "CALL louvain() YIELD vid, community RETURN vid, community")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(louvC == louv)
+    val btw = graft.algo.Betweenness.run(g, Some(3), normalized = true)
+      .select("vid", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val btwC = Cypher.run(g, "CALL betweenness(3) YIELD vid, value RETURN vid, value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(btwC == btw)
+    val census = graft.algo.TemporalMotifs.globalCounts(g, 10L)
+    val censusC = Cypher.run(g,
+      "CALL temporal_motifs(10) YIELD motif, n WHERE n > 0 RETURN motif, n ORDER BY motif")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(censusC == census.toSeq.zipWithIndex.collect { case (c, i) if c > 0 => (i.toLong, c) })
+  }
+
   test("Procedures.catalogue stays in sync with invoke()") {
-    val needsArgs = Map("sssp" -> Seq[Any]("zero"), "kcore" -> Seq[Any](2L))
+    val needsArgs = Map("sssp" -> Seq[Any]("zero"), "kcore" -> Seq[Any](2L),
+      "temporal_motifs" -> Seq[Any](1000L))
     graft.cypher.Procedures.catalogue.foreach { case (name, (cols, _)) =>
       val df = graft.cypher.Procedures.invoke(g, name, needsArgs.getOrElse(name, Seq.empty))
       assert(df.columns.toSeq == cols, s"procedure $name")

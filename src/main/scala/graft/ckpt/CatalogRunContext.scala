@@ -72,6 +72,7 @@ final class CatalogRunContext(
   private var inflight: java.util.concurrent.Future[_] = null
 
   private var pendingCommit: Option[(DataFrame, Int)] = None
+  private val asyncError = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
 
   private def awaitInflight(): Unit = if (inflight != null) { inflight.get(); inflight = null }
 
@@ -124,8 +125,16 @@ final class CatalogRunContext(
     // flush once per superstep, queued BEHIND the step's snapshot write on
     // the single writer thread — the callers record() right after
     // checkpoint(), so a committed step's durable metrics include its own
-    // row and never lead the manifest they describe
-    writer.submit(new Runnable { override def run(): Unit = flushMetrics() })
+    // row and never lead the manifest they describe. Fire-and-forget, so a
+    // flush failure is captured and rethrown at the next barrier rather
+    // than vanishing with the task.
+    writer.submit(new Runnable {
+      override def run(): Unit =
+        try flushMetrics()
+        catch { case e: Throwable => asyncError.compareAndSet(null, e) }
+    })
+    val err = asyncError.get()
+    if (err != null) throw err
   }
 
   override def stats: Seq[StepStat] = stepStats.toSeq
@@ -136,6 +145,8 @@ final class CatalogRunContext(
     awaitInflight()
     // drain queued metric flushes
     writer.submit(new Runnable { override def run(): Unit = () }).get()
+    val err = asyncError.get()
+    if (err != null) throw err
   }
 
   def resumedFromStep: Long = resumedFrom

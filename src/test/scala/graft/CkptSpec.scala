@@ -44,6 +44,16 @@ class CkptSpec extends AnyFunSuite {
     for ((k, v) <- full) assert(math.abs(resumed(k) - v) < 1e-15, s"node $k")
   }
 
+  test("async metric-flush failures surface at the finish() barrier, not silently") {
+    // catalog root nested under a plain FILE: every mkdirs/create fails
+    val f = Files.createTempFile("graft-ckpt-block", "")
+    val ctx = new CatalogRunContext(new Catalog(f.toString + "/sub"), "run-e", spark)
+    ctx.record(graft.bsp.StepStat("pagerank", 1, 1L, 1L, 0.0, 1.0))
+    val e = intercept[Throwable] { ctx.finish() }
+    assert(e.getMessage != null)
+    Files.delete(f)
+  }
+
   test("metrics table carries global and per-partition lineage rows") {
     val root = Files.createTempDirectory("graft-ckpt2").toString
     val cat = new Catalog(root)

@@ -96,8 +96,16 @@ object Lpa {
   /** Scalable deterministic synchronous LPA (red/black by vid parity).
     * Numeric-GID graphs below the in-memory id bound take the CSR fast
     * path (identical labels; one broadcast gather per colour phase);
-    * string-GID or huge graphs run the shuffle-based supersteps. */
-  def runSync(g: LinkGraph, maxSweeps: Int = 100, mode: String = "auto"): DataFrame = {
+    * string-GID or huge graphs run the shuffle-based supersteps.
+    *
+    * `ctx` (north rule): the DF path checkpoints state once per colour
+    * phase (superstep = half-sweep) and resumes from the max committed
+    * half-sweep; a mid-sweep resume cannot see the first colour phase's
+    * changed count, so that sweep never declares convergence — at worst
+    * one extra no-op sweep, labels identical (CkptSpec). The CSR fast
+    * path records metrics only (driver-bounded arrays, re-run on resume). */
+  def runSync(g: LinkGraph, maxSweeps: Int = 100, mode: String = "auto",
+              ctx: graft.bsp.RunContext = graft.bsp.RunContext.none): DataFrame = {
     val maxVid = g.nodes.agg(max("vid")).head() match {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
@@ -107,11 +115,12 @@ object Lpa {
     val useCsr = mode == "csr" ||
       (mode == "auto" && g.namesAreNumeric &&
         graft.graph.CsrGraph.inMemFits(g, maxVid, InMemMaxIds))
-    if (useCsr) runSyncCsr(g, maxSweeps)
-    else graft.bsp.IterativeConf.withStablePartitioning(g.spark) { runSync0(g, maxSweeps) }
+    if (useCsr) runSyncCsr(g, maxSweeps, ctx)
+    else graft.bsp.IterativeConf.withStablePartitioning(g.spark) { runSync0(g, maxSweeps, ctx) }
   }
 
-  private def runSyncCsr(g: LinkGraph, maxSweeps: Int): DataFrame = {
+  private def runSyncCsr(g: LinkGraph, maxSweeps: Int,
+                         ctx: graft.bsp.RunContext): DataFrame = {
     require(g.namesAreNumeric,
       "LPA CSR mode needs numeric GID names (labels are packed as u64); " +
         "use mode=\"df\" for string-named graphs")
@@ -122,29 +131,39 @@ object Lpa {
     val nodes = g.nodes.select($"vid", $"name").as[(Long, String)].collect()
     val nameVal = new Array[Long](csr.n)
     nodes.foreach { case (v, nm) => nameVal(v.toInt) = java.lang.Long.parseUnsignedLong(nm) }
-    val labels = graft.bsp.CsrSuperstep.lpaSync(csr, nameVal, maxSweeps)
+    val labels = graft.bsp.CsrSuperstep.lpaSync(csr, nameVal, maxSweeps, ctx)
     csr.unpersist()
     val rows = nodes.map { case (v, nm) => (v, nm, java.lang.Long.toUnsignedString(labels(v.toInt))) }
     spark.createDataset(rows.toSeq).toDF("vid", "name", "label")
   }
 
-  private def runSync0(g: LinkGraph, maxSweeps: Int): DataFrame = {
+  private def runSync0(g: LinkGraph, maxSweeps: Int,
+                       ctx: graft.bsp.RunContext): DataFrame = {
     val spark = g.spark
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = g.undirectedPairs.repartition(p, $"a")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
+    val pairCount = pairs.count()
     // label ordering key: numeric GIDs by value, strings lexicographically
     val nodes = g.nodes
-    var state = nodes.select($"vid", $"name".as("label"))
-      .repartition(p, $"vid").localCheckpoint(true)
+    var state = ctx.restoreOrInit(
+      nodes.select($"vid", $"name".as("label")).repartition(p, $"vid"))
 
-    var sweep = 0
+    // superstep = half-sweep (one colour phase); resume restarts at the
+    // max committed half-sweep. A mid-sweep resume (odd halfStep) cannot
+    // know the first phase's changed count, so that first resumed sweep
+    // never declares done — at worst one extra converged (no-op) sweep,
+    // labels unchanged.
+    var halfStep = ctx.startStep
+    var sweep = halfStep / 2
+    var startColor = halfStep % 2
+    var firstSweepPartial = startColor == 1
     var done = false
     while (!done && sweep < maxSweeps) {
-      var changedTotal = 0L
-      for (color <- 0 to 1) {
+      var changedTotal = if (firstSweepPartial) 1L else 0L
+      for (color <- startColor to 1) {
+        val t0 = System.nanoTime()
         // gather only into the active colour class — the other half of the
         // majority aggregation would be discarded by the newState select,
         // doubling the per-sweep shuffle for nothing
@@ -168,14 +187,23 @@ object Lpa {
           .select($"vid",
             when($"vid" % 2 === color && $"cand".isNotNull, $"cand").otherwise($"label").as("label"),
             ($"vid" % 2 === color && $"cand".isNotNull && $"cand" =!= $"label").as("changed"))
-        val ck = newState.localCheckpoint(true)
-        val changed = ck.agg(sum(when($"changed", 1L).otherwise(0L))).head().getLong(0)
+        halfStep += 1
+        val ck = ctx.checkpoint(newState, halfStep)
+        // the changed aggregate materialises the lazy checkpoint — one job
+        // per colour phase (previously an eager localCheckpoint + agg, two)
+        val changed = ck.agg(coalesce(sum(when($"changed", 1L).otherwise(0L)), lit(0L)))
+          .head().getLong(0)
         changedTotal += changed
         state = ck.drop("changed")
+        ctx.record(graft.bsp.StepStat("lpa", halfStep, pairCount, pairCount,
+          changed.toDouble, (System.nanoTime() - t0) / 1e6))
       }
+      startColor = 0
+      firstSweepPartial = false
       done = changedTotal == 0
       sweep += 1
     }
+    ctx.finish() // barrier: async snapshot commits durable before returning
     pairs.unpersist()
     state.join(nodes, Seq("vid")).select($"vid", $"name", $"label")
   }

@@ -44,6 +44,49 @@ class CkptSpec extends AnyFunSuite {
     for ((k, v) <- full) assert(math.abs(resumed(k) - v) < 1e-15, s"node $k")
   }
 
+  test("WCC kill/resume: labels identical, pre-crash supersteps not recomputed") {
+    val root = Files.createTempDirectory("graft-ckpt-wcc").toString
+    val cat = new Catalog(root)
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    def labels(ctx: graft.bsp.RunContext) =
+      graft.algo.Wcc.run(g, ctx = ctx, mode = "df").collect()
+        .map(r => r.getAs[Long]("vid") -> r.getAs[Long]("component_vid")).toMap
+    val full = labels(new CatalogRunContext(cat, "wcc-a", spark))
+    val committed = cat.snapshots("state/wcc-a")
+    assert(committed.size >= 3, s"need >2 supersteps to crash-drop, got $committed")
+    labels(new CatalogRunContext(cat, "wcc-b", spark))
+    for (s <- 3L to committed.max)
+      Files.delete(Paths.get(root, "state/wcc-b/meta", s"manifest-$s.json"))
+    val ctx2 = new CatalogRunContext(cat, "wcc-b", spark)
+    val resumed = labels(ctx2)
+    assert(ctx2.resumedFromStep == 2L)
+    assert(ctx2.stats.forall(_.step > 2), "resume recomputed pre-crash supersteps")
+    assert(resumed == full)
+  }
+
+  test("sync LPA kill/resume mid-sweep: labels identical to the uninterrupted run") {
+    val root = Files.createTempDirectory("graft-ckpt-lpa").toString
+    val cat = new Catalog(root)
+    val g = LinkGraph.fromNumericEdgeList(spark, edges)
+    def labels(ctx: graft.bsp.RunContext) =
+      graft.algo.Lpa.runSync(g, mode = "df", ctx = ctx).collect()
+        .map(r => r.getAs[Long]("vid") -> r.getAs[String]("label")).toMap
+    val full = labels(new CatalogRunContext(cat, "lpa-a", spark))
+    val halfSteps = cat.snapshots("state/lpa-a")
+    assert(halfSteps.size >= 3, s"need >2 half-sweeps, got $halfSteps")
+    labels(new CatalogRunContext(cat, "lpa-b", spark))
+    // crash ON an odd boundary: the resumed run restarts MID-SWEEP (colour
+    // 1 of its sweep) where the first phase's changed count is unknown —
+    // the convergence guard must not early-exit that sweep
+    for (s <- 2L to halfSteps.max)
+      Files.delete(Paths.get(root, "state/lpa-b/meta", s"manifest-$s.json"))
+    val ctx2 = new CatalogRunContext(cat, "lpa-b", spark)
+    val resumed = labels(ctx2)
+    assert(ctx2.resumedFromStep == 1L)
+    assert(ctx2.stats.forall(_.step > 1))
+    assert(resumed == full)
+  }
+
   test("async metric-flush failures surface at the finish() barrier, not silently") {
     // catalog root nested under a plain FILE: every mkdirs/create fails
     val f = Files.createTempFile("graft-ckpt-block", "")

@@ -218,11 +218,13 @@ object Bench {
     }
 
     def jsonLine(queryDecimals: Int, totalDecimals: Int,
-                 detail: Iterable[(String, String)]): String = {
-      val qs = results.map { case (k, v) =>
+                 detail: Iterable[(String, String)],
+                 queries: Iterable[(String, Double)] = results): String = {
+      val qs = queries.map { case (k, v) =>
         "\"" + k + "\":" + s"%.${queryDecimals}f".format(v)
       }.mkString("{", ",", "}")
       val ex = detail.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+      // `value` is ALWAYS the total over every leg, elided or not
       val total = s"%.${totalDecimals}f".format(results.values.filter(_ >= 0).sum)
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","detail":$ex}"""
     }
@@ -234,8 +236,11 @@ object Bench {
     // stdout line: the driver tail-captures the LAST 2000 chars of the run
     // (measured from the r2 artifact, sbt's ~75-char success trailer
     // included), so the printed line must stay under ~1900 chars to parse.
-    // 1-decimal timings + decision-only detail keys; drop detail entries
-    // (never queries — they are the driver contract) if still over budget.
+    // At 98+ legs even a detail-free line overflows (measured 2103 chars on
+    // run K — the head would be truncated and the whole line lost), so the
+    // budget is enforced by ELIDING the cheapest query legs, keeping the
+    // decision detail keys and the slowest legs; `value` stays the full
+    // total and target/bench.json always carries every leg.
     val decisionKeys = Seq("pagerank_edges_scattered_per_sec",
       "query_total_pass1_cold", "query_total_pass2_warm", "scaling_headline_pair",
       "scaling_efficiency", "scaling_df_eff_2_8", "scaling_df_eff_8_32",
@@ -243,9 +248,17 @@ object Bench {
       "scaling_csr_eff_8_32", "pagerank_supersteps", "corpus_edges", "corpus_nodes")
     val ordered = decisionKeys.filter(extra.contains).map(k => k -> extra(k))
     val budget = 1850
-    val keep = scala.collection.mutable.ArrayBuffer(ordered: _*)
-    while (keep.nonEmpty && jsonLine(1, 2, keep).length > budget)
-      keep.remove(keep.length - 1)
-    println(jsonLine(1, 2, keep))
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    var nKeep = bySlowest.length
+    def stdoutLine(): String = {
+      val det = ordered ++ (if (nKeep < bySlowest.length)
+        Seq("queries_elided" -> s"${bySlowest.length - nKeep} cheapest; full set in target/bench.json")
+      else Seq.empty)
+      // keep insertion (execution) order among the retained legs
+      val kept = bySlowest.take(nKeep).map(_._1).toSet
+      jsonLine(1, 2, det, results.filter { case (k, _) => kept(k) })
+    }
+    while (nKeep > 0 && stdoutLine().length > budget) nKeep -= 1
+    println(stdoutLine())
   }
 }

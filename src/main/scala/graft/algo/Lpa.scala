@@ -164,29 +164,7 @@ object Lpa {
       var changedTotal = if (firstSweepPartial) 1L else 0L
       for (color <- startColor to 1) {
         val t0 = System.nanoTime()
-        // gather only into the active colour class — the other half of the
-        // majority aggregation would be discarded by the newState select,
-        // doubling the per-sweep shuffle for nothing
-        val gather = pairs.filter($"b" % 2 === color)
-        val counts = state.hint("shuffle_hash")
-          .join(gather, state("vid") === gather("a"))
-          .groupBy($"b", $"label").agg(count(lit(1)).as("c"))
-          // numeric GIDs order as UNSIGNED u64 (Lpa.gidLt): decimal(20,0)
-          // covers the full u64 range — cast("long") nulls labels >= 2^63
-          // and would invert those tie-breaks vs runExact/the CSR path
-          .withColumn("ord_key",
-            if (g.namesAreNumeric)
-              $"label".cast(org.apache.spark.sql.types.DecimalType(20, 0))
-            else $"label")
-        // majority label, ties -> largest GID: lexicographic struct max —
-        // one aggregation instead of a window sort per half-sweep
-        val best = counts.groupBy($"b")
-          .agg(max(struct($"c", $"ord_key", $"label")).as("m"))
-          .select($"b".as("vid"), $"m.label".as("cand"))
-        val newState = state.join(best, Seq("vid"), "left")
-          .select($"vid",
-            when($"vid" % 2 === color && $"cand".isNotNull, $"cand").otherwise($"label").as("label"),
-            ($"vid" % 2 === color && $"cand".isNotNull && $"cand" =!= $"label").as("changed"))
+        val newState = lpaPhase(state, pairs, color, g.namesAreNumeric)
         halfStep += 1
         val ck = ctx.checkpoint(newState, halfStep)
         // the changed aggregate materialises the lazy checkpoint — one job
@@ -206,5 +184,51 @@ object Lpa {
     ctx.finish() // barrier: async snapshot commits durable before returning
     pairs.unpersist()
     state.join(nodes, Seq("vid")).select($"vid", $"name", $"label")
+  }
+
+  /** One red/black colour phase as a DataFrame program (PlanSpec audits
+    * this fragment: both joins SHJ, no sort, no window). `state` is
+    * (vid, label) hash-partitioned on vid; `pairs` the undirected (a, b)
+    * neighbour table partitioned on a. */
+  private[graft] def lpaPhase(state: DataFrame, pairs: DataFrame, color: Int,
+                              numericNames: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    // gather only into the active colour class — the other half of the
+    // majority aggregation would be discarded by the newState select,
+    // doubling the per-sweep shuffle for nothing
+    val gather = pairs.filter(c("b") % 2 === color)
+    val counts = state.hint("shuffle_hash")
+      .join(gather, state("vid") === gather("a"))
+      .groupBy(c("b"), c("label")).agg(count(lit(1)).as("c"))
+    // majority label, ties -> largest GID: ONE lexicographic struct-max
+    // aggregation. Numeric GIDs order as UNSIGNED u64 (Lpa.gidLt):
+    // decimal(20,0) covers the full u64 range — cast("long") would null
+    // labels >= 2^63 and invert those tie-breaks vs runExact/the CSR path.
+    //
+    // Struct buffers aren't UnsafeRow-mutable, so this compiles to
+    // SortAggregate — DELIBERATELY kept: its partial side runs map-side on
+    // the count-HashAggregate's output (distinct (dst,label) pairs, never
+    // the edge table) and reduces to one row per dst BEFORE the exchange,
+    // so only ~n rows cross the wire. The sort-free alternative (hash-agg
+    // the max count, self-join counts back, hash-agg a sign-flipped-long
+    // order key) was measured to plan the m-row gather join TWICE (no
+    // exchange reuse across the two consumers) and ships the whole counts
+    // table through two extra exchanges — strictly worse. PlanSpec locks
+    // the real invariant instead: sorts only ever sit above aggregates /
+    // exchanges of aggregated data, never above a join or the edge scan.
+    val counts2 = counts.withColumn("ord_key",
+      if (numericNames)
+        c("label").cast(org.apache.spark.sql.types.DecimalType(20, 0))
+      else c("label"))
+    val best = counts2.groupBy(c("b"))
+      .agg(max(struct(c("c"), c("ord_key"), c("label"))).as("m"))
+      .select(c("b").as("vid"), c("m.label").as("cand"))
+    // shuffle_hash like every other superstep loop: post-checkpoint state
+    // has unknown stats and would SMJ-re-sort both sides per phase
+    state.join(best.hint("shuffle_hash"), Seq("vid"), "left")
+      .select(c("vid"),
+        when(c("vid") % 2 === color && c("cand").isNotNull, c("cand"))
+          .otherwise(c("label")).as("label"),
+        (c("vid") % 2 === color && c("cand").isNotNull && c("cand") =!= c("label")).as("changed"))
   }
 }

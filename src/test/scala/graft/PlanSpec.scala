@@ -150,6 +150,57 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sync LPA colour phase: both joins SHJ, no sort, no window") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    withoutAutoBroadcast {
+      graft.bsp.IterativeConf.withStablePartitioning(spark) {
+        val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val n = 50000L
+        val edges0 = spark.range(0, n, 1, 4).flatMap { i =>
+          graft.io.Corpus.linkTargets(i, 8, 13L).map(j => (i, j))
+        }.toDF("src", "dst")
+        val pairs = edges0.select($"src".as("a"), $"dst".as("b"))
+          .union(edges0.select($"dst".as("a"), $"src".as("b")))
+          .distinct().repartition(p, $"a").persist()
+        pairs.count()
+        val state = spark.range(0, n).select($"id".as("vid"), $"id".cast("string").as("label"))
+          .repartition(p, $"vid").localCheckpoint(true)
+        val phase = graft.algo.Lpa.lpaPhase(state, pairs, 0, numericNames = true)
+        val exec = phase.queryExecution.executedPlan
+        val s = exec.toString
+        assert(exec.collect { case x: WindowExec => x }.isEmpty,
+          s"window in sync LPA phase (majority must be an aggregate):\n$s")
+        assert(exec.collect { case x: ShuffledHashJoinExec => x }.length == 2,
+          s"LPA phase joins are not both SHJ:\n$s")
+        // the struct-max SortAggregate is deliberate (see Lpa.lpaPhase):
+        // its sorts run over the count-aggregate's reduced output. The
+        // load-bearing invariant is that NO sort sits directly on a join,
+        // scan, or exchange of un-aggregated data — i.e. the edge table
+        // and the m-row gather join output are never sorted.
+        import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+        def firstReal(pl: SparkPlan): SparkPlan = pl match {
+          case w: WholeStageCodegenExec => firstReal(w.child)
+          case a: InputAdapter => firstReal(a.child)
+          case ex: ShuffleExchangeExec => firstReal(ex.child)
+          case other => other
+        }
+        exec.collect { case srt: SortExec => srt }.foreach { srt =>
+          assert(firstReal(srt.child).isInstanceOf[BaseAggregateExec],
+            s"sort over un-aggregated data in LPA phase:\n${srt.treeString}")
+        }
+        // the m-row gather join must be planned ONCE (a sort-free argmax
+        // rewrite was rejected because it planned this subtree twice)
+        assert(s.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan") == 1,
+          s"edge gather consumed more than once per phase:\n$s")
+        pairs.unpersist()
+      }
+    }
+  }
+
   test("parquet scan: filters push down and columns prune to the projection") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 10).select("doc_id", "text")

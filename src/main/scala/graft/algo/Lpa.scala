@@ -187,9 +187,10 @@ object Lpa {
   }
 
   /** One red/black colour phase as a DataFrame program (PlanSpec audits
-    * this fragment: both joins SHJ, no sort, no window). `state` is
-    * (vid, label) hash-partitioned on vid; `pairs` the undirected (a, b)
-    * neighbour table partitioned on a. */
+    * this fragment: both state joins SHJ, no window, sorts only above
+    * aggregated data — see the majority-aggregation note below). `state`
+    * is (vid, label) hash-partitioned on vid; `pairs` the undirected
+    * (a, b) neighbour table partitioned on a. */
   private[graft] def lpaPhase(state: DataFrame, pairs: DataFrame, color: Int,
                               numericNames: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}

@@ -150,7 +150,7 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("sync LPA colour phase: both joins SHJ, no sort, no window") {
+  test("sync LPA colour phase: both joins SHJ, sorts only above aggregates, no window") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
